@@ -1,0 +1,105 @@
+"""Evaluation metrics (SURVEY.md §2.4 A6-A9) as pure DataFrame aggregates.
+
+* pairwise precision/recall/F1 over labeled same-blocking-key pairs — the
+  BASELINE.json acceptance metric (≥ 0.99). The engine analogue of the
+  reference's span TP/FP/FN counters (`/root/reference/run_E2E_exhaustive.py:449-518`).
+* ranking metrics P@1 / MAP / Recall@k over scored candidate lists —
+  (`/root/reference/run_DualEncoder.py:332-418`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def labeled_same_block_pairs(gold_mentions_blocked: DataFrame) -> DataFrame:
+    """(mention_id, block_key, label_candidate_id) → labeled pairs.
+
+    All unordered mention pairs sharing a blocking key, labeled
+    is_match = (same gold entity) — the FIXTURES.md §5 table.
+    """
+    a = gold_mentions_blocked.select(
+        F.col("block_key"),
+        F.col("mention_id").alias("mention_id_a"),
+        F.col("label_candidate_id").alias("label_a"),
+    )
+    b = gold_mentions_blocked.select(
+        F.col("block_key"),
+        F.col("mention_id").alias("mention_id_b"),
+        F.col("label_candidate_id").alias("label_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("mention_id_a") < F.col("mention_id_b"))
+        .select(
+            "mention_id_a",
+            "mention_id_b",
+            "block_key",
+            (F.col("label_a") == F.col("label_b")).alias("is_match"),
+        )
+        .dropDuplicates(["mention_id_a", "mention_id_b"])
+    )
+
+
+def pairwise_f1(labeled_pairs: DataFrame, clusters: DataFrame) -> dict:
+    """clusters(mention_id, cluster_id) scored against labeled pairs.
+
+    Returns {tp, fp, fn, tn, precision, recall, f1} computed distributed
+    (one join per side + one agg; no driver loops).
+    """
+    ca = clusters.select(
+        F.col("mention_id").alias("mention_id_a"), F.col("cluster_id").alias("cluster_a")
+    )
+    cb = clusters.select(
+        F.col("mention_id").alias("mention_id_b"), F.col("cluster_id").alias("cluster_b")
+    )
+    j = (
+        labeled_pairs.join(ca, "mention_id_a", "left")
+        .join(cb, "mention_id_b", "left")
+        .withColumn(
+            "pred_match",
+            F.coalesce(F.col("cluster_a") == F.col("cluster_b"), F.lit(False)),
+        )
+    )
+    row = j.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_match") & ~F.col("pred_match"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("is_match") & ~F.col("pred_match"), 1).otherwise(0)).alias("tn"),
+    ).collect()[0]
+    tp, fp, fn, tn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0, row["tn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
+def ranking_metrics(scored: DataFrame, k: int = 10) -> DataFrame:
+    """P@1, MAP (mean 1/rank-of-gold), Recall@k over scored candidates.
+
+    scored: (mention_id, entity_id, score, label_candidate_id). Mirrors
+    `/root/reference/run_DualEncoder.py:332-418` (normalized denominators:
+    mentions whose gold never appears count rank = +inf → contribute 0).
+    """
+    w = Window.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    gold_rank = (
+        ranked.filter(F.col("entity_id") == F.col("label_candidate_id"))
+        .groupBy("mention_id")
+        .agg(F.min("rank").alias("gold_rank"))
+    )
+    base = scored.select("mention_id").distinct().join(gold_rank, "mention_id", "left")
+    return base.agg(
+        F.avg(F.when(F.col("gold_rank") == 1, 1.0).otherwise(0.0)).alias("p_at_1"),
+        F.avg(
+            F.when(F.col("gold_rank").isNotNull(), 1.0 / F.col("gold_rank")).otherwise(0.0)
+        ).alias("map"),
+        F.avg(
+            F.when(F.col("gold_rank") <= k, 1.0).otherwise(0.0)
+        ).alias(f"recall_at_{k}"),
+        F.count("*").alias("n_mentions"),
+    )

@@ -1,0 +1,304 @@
+"""Candidate blocking (SURVEY.md §2.10) — token-prefix keys, char-n-gram
+TF-IDF cosine top-k (C1), and MinHash LSH band blocking, all as DataFrame
+transforms.
+
+The TF-IDF path replicates the semantics of the reference's
+`candidate_selection.py` end-to-end (`/root/reference/candidate_selection.py:102-216`):
+lowercased corpus = entity names ∪ mention surfaces, stopword filter before
+n-gramming, char n-grams n=1..5 with the reference's loop quirk
+(compat=True drops the first-position and tail grams), top-100k vocabulary by
+frequency, idf = log(N/df) with **no smoothing** (:161), tf·idf vectors
+L2-normalized, cosine via sparse dot, top-k candidates per mention.
+
+Representation is *sparse-relational*: a vector is rows (id, gram, weight) —
+never a padded dense matrix (the reference's 100000-wide numpy rows are a
+single-node artifact). The cosine is a join on the gram key + hash
+aggregation: exactly the shuffle Catalyst handles well, and the hot-gram skew
+site where we salt (SURVEY.md §4 custom work #1).
+
+MinHash here is built-ins only: k independent xxhash64 seeds, min() per key —
+no UDF, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from e2e_el_spark.functions import (
+    STOPWORDS,
+    char_ngrams_all_expr,
+    remove_stopwords_expr,
+)
+
+# ---------------------------------------------------------------------------
+# token-prefix blocking key (north star: "token-prefix blocking keys")
+# ---------------------------------------------------------------------------
+
+
+def token_prefix_key(text_col: str, k: int = 4):
+    """lower(substr(first_token, 1, k)) — the cheap equi-join blocking key."""
+    return F.lower(F.substring(F.split(F.col(text_col), " ").getItem(0), 1, k))
+
+
+def with_block_key(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    return df.withColumn("block_key", token_prefix_key(text_col, k))
+
+
+def salt_block_key(
+    df: DataFrame, key_col: str = "block_key", id_col: str = "mention_id",
+    max_block_size: int = 1000, salt_buckets: int = 16,
+) -> DataFrame:
+    """Explicit skew salting (SURVEY.md §4 custom work #1).
+
+    Keys whose frequency exceeds ``max_block_size`` (measured by a
+    key-frequency sketch aggregated engine-side) get a deterministic salt
+    ``pmod(xxhash64(id), S)`` appended, splitting the hot block into S
+    sub-blocks. AQE's skew-join splitting alone does not bound the *pair
+    explosion* of a self-join — salting does.
+    """
+    freq = df.groupBy(key_col).agg(F.count("*").alias("_key_freq"))
+    out = df.join(F.broadcast(freq), key_col, "left")
+    salted = F.when(
+        F.col("_key_freq") > max_block_size,
+        F.concat_ws(
+            "#",
+            F.col(key_col),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("string"),
+        ),
+    ).otherwise(F.col(key_col))
+    return out.withColumn(key_col, salted).drop("_key_freq")
+
+
+# ---------------------------------------------------------------------------
+# char-n-gram TF-IDF (C1 / A2-A5 / T1)
+# ---------------------------------------------------------------------------
+
+
+def _prepped(df: DataFrame, id_col: str, text_col: str, lowercase: bool,
+             stopwords: list[str] | None) -> DataFrame:
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    d = df.select(F.col(id_col).alias("_id"), text.alias("_t"))
+    return d.withColumn("_t", F.expr(remove_stopwords_expr("_t", stopwords)))
+
+
+def ngram_counts(df: DataFrame, id_col: str, text_col: str, n_max: int = 5,
+                 compat: bool = True, lowercase: bool = True,
+                 stopwords: list[str] | None = None) -> DataFrame:
+    """(id, gram, tf) — per-document char-n-gram term frequencies (A2)."""
+    d = _prepped(df, id_col, text_col, lowercase, stopwords)
+    return (
+        d.select("_id", F.explode(F.expr(char_ngrams_all_expr("_t", n_max, compat))).alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_tfidf_vocab(
+    corpus: DataFrame, id_col: str, text_col: str,
+    n_max: int = 5, vocab_size: int = 100_000, compat: bool = True,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Vocabulary (gram, idf) from a corpus DataFrame.
+
+    Global top-k by total term frequency (ties broken by gram for
+    determinism), df = #docs containing the gram, idf = log(N/df).
+    """
+    n_docs = corpus.count()
+    grams = ngram_counts(corpus, id_col, text_col, n_max, compat, True, stopwords)
+    totals = grams.groupBy("gram").agg(
+        F.sum("tf").alias("total_tf"), F.countDistinct("_id").alias("df")
+    )
+    w = Window.orderBy(F.desc("total_tf"), F.asc("gram"))
+    vocab = (
+        totals.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= vocab_size)
+        .select("gram", "df", (F.log(F.lit(float(n_docs)) / F.col("df"))).alias("idf"))
+    )
+    return vocab
+
+
+def tfidf_vectors(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame,
+    n_max: int = 5, compat: bool = True, lowercase: bool = False,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Sparse L2-normalized tf·idf rows (id, gram, weight) (A5).
+
+    lowercase defaults False for parity: the reference vectorizes the RAW
+    entity/mention text while the vocab corpus was lowercased
+    (`/root/reference/candidate_selection.py:168,187` vs :106-110).
+    """
+    grams = ngram_counts(df, id_col, text_col, n_max, compat, lowercase, stopwords)
+    weighted = grams.join(vocab.select("gram", "idf"), "gram").select(
+        "_id", "gram", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = weighted.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm"))
+    return (
+        weighted.join(norms, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "gram",
+            (F.col("w") / F.col("_norm")).alias("weight"),
+        )
+    )
+
+
+def sparse_pair_scores(
+    query_vecs: DataFrame, query_id: str,
+    cand_vecs: DataFrame, cand_id: str,
+) -> DataFrame:
+    """All gram-sharing pair cosines: join on gram + hash-agg dot products.
+
+    Both inputs are L2-normalized sparse rows, so sum(w_q · w_c) IS the
+    cosine. One shuffle on the gram key with map-side partial aggregation;
+    very frequent grams are naturally damped because low-idf grams carry
+    near-zero weight. Pairs sharing no vocabulary gram have cosine 0 and are
+    simply absent.
+    """
+    q = query_vecs.select(F.col(query_id).alias("_qid"), "gram", F.col("weight").alias("_qw"))
+    c = cand_vecs.select(F.col(cand_id).alias("_cid"), "gram", F.col("weight").alias("_cw"))
+    return (
+        q.join(c, "gram")
+        .groupBy("_qid", "_cid")
+        .agg(F.sum(F.col("_qw") * F.col("_cw")).alias("tfidf_cos"))
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(cand_id),
+            "tfidf_cos",
+        )
+    )
+
+
+def cosine_topk(
+    query_vecs: DataFrame, query_id: str,
+    cand_vecs: DataFrame, cand_id: str,
+    k: int = 10,
+) -> DataFrame:
+    """Sparse cosine top-k per query: the pair scores + a window rank ≤ k
+    (T1: `/root/reference/candidate_selection.py:197-211`)."""
+    scores = sparse_pair_scores(query_vecs, query_id, cand_vecs, cand_id)
+    w = Window.partitionBy(query_id).orderBy(F.desc("tfidf_cos"), F.asc(cand_id))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "tfidf_cos", "rank")
+    )
+
+
+def tfidf_candidates(
+    mentions: DataFrame, entities: DataFrame, k: int = 10,
+    n_max: int = 5, vocab_size: int = 100_000, compat: bool = True,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """End-to-end C1: mentions(mention_id, text) × entities(entity_id, name)
+    → (mention_id, entity_id, tfidf_cos, rank≤k).
+
+    Corpus for the vocabulary = entity names ∪ mention surfaces, both
+    lowercased (`/root/reference/candidate_selection.py:102-111`).
+    """
+    sw = STOPWORDS if stopwords is None else stopwords
+    corpus = entities.select(F.col("entity_id").alias("cid"), F.col("name").alias("ctext")).unionByName(
+        mentions.select(F.col("mention_id").alias("cid"), F.col("text").alias("ctext"))
+    )
+    vocab = build_tfidf_vocab(corpus, "cid", "ctext", n_max, vocab_size, compat, sw)
+    ev = tfidf_vectors(entities, "entity_id", "name", vocab, n_max, compat, False, sw)
+    mv = tfidf_vectors(mentions, "mention_id", "text", vocab, n_max, compat, False, sw)
+    return cosine_topk(mv, "mention_id", ev, "entity_id", k)
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH band blocking (north star: "minhash/LSH ... blocking keys")
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, width: int = 3) -> DataFrame:
+    """(id, shingle) distinct char shingles of the normalized text."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.expr(
+                    # standard full sliding window (not the compat quirk)
+                    f"CASE WHEN length(lower({text_col})) >= {width} THEN "
+                    f"transform(sequence(1, length(lower({text_col})) - {width} + 1), "
+                    f"i -> substr(lower({text_col}), i, {width})) ELSE array(lower({text_col})) END"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 32, shingle_width: int = 3,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>) — MinHash signature, built-ins only.
+
+    h_i(x) = xxhash64(shingle, seed=i); sig[i] = min over shingles. The
+    explode/groupBy is one shuffle with map-side partial min — no UDF, no
+    Python (contrast: the reference delegates to FAISS/torch.topk,
+    `/root/reference/utils_FullTransformer.py:272-277`).
+    """
+    sh = shingles(df, id_col, text_col, shingle_width)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str,
+    bands: int = 8, rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, block_key) — one key per band: hash of the band's signature slice.
+
+    Two items share a block iff some band of their signatures agrees —
+    the classic banding scheme; band keys feed the same-block pair join.
+    """
+    cols = []
+    for b in range(bands):
+        lo = b * rows_per_band + 1  # slice() is 1-based
+        band = F.slice(F.col("sig"), lo, rows_per_band)
+        cols.append(
+            F.concat_ws(
+                ":", F.lit(str(b)), F.xxhash64(F.concat_ws(",", band.cast("array<string>"))).cast("string")
+            ).alias(f"bk{b}")
+        )
+    wide = signatures.select(F.col(id_col), *cols)
+    stacked = wide.select(
+        id_col,
+        F.explode(F.array(*[F.col(f"bk{b}") for b in range(bands)])).alias("block_key"),
+    )
+    return stacked
+
+
+def same_block_pairs(
+    keyed: DataFrame, id_col: str, key_col: str = "block_key",
+    max_block_size: int = 200,
+) -> DataFrame:
+    """Self-join within blocks → unordered candidate pairs (id_a < id_b).
+
+    Blocks larger than ``max_block_size`` are capped with a deterministic
+    row_number cutoff and the drop is observable in the `_truncated` flag —
+    no silent cap (SURVEY.md §7.2 step 7).
+    """
+    w = Window.partitionBy(key_col).orderBy(id_col)
+    capped = (
+        keyed.select(key_col, id_col)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_truncated", F.col("_rn") > max_block_size)
+        .filter(~F.col("_truncated"))
+    )
+    a = capped.select(F.col(key_col), F.col(id_col).alias("id_a"))
+    b = capped.select(F.col(key_col), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, key_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", key_col)
+        .dropDuplicates(["id_a", "id_b"])
+    )

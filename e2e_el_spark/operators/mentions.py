@@ -1,0 +1,138 @@
+"""Mention detection as pure DataFrame transforms (SURVEY.md §2.9).
+
+The reference detects mentions with a BIO tagging head / CRF / exhaustive
+span enumeration (`/root/reference/modeling_E2E_exhaustive.py:61-133`,
+`/root/reference/modeling_crf_ner.py:82-124`). Per the north star, this
+engine's detector is a **dictionary/gazetteer matcher expressed as DataFrame
+transforms**: tokenize with character offsets (window cumulative sums), build
+token n-gram span candidates with ``lead()`` windows, equi-join against the
+broadcast alias gazetteer (C6: exact surface-form lookup,
+`/root/reference/mention_candidates_AIDA.py:14-31`), then drop spans strictly
+contained in a longer match. Zero Python in the loop — every step is
+codegen'd Columns; the skew-heavy step (the gazetteer join) broadcasts the
+small side.
+
+Span invariant preserved: ``substr(text, start_index+1, end_index-start_index)
+== text`` of the mention (`/root/reference/utils_E2E_exhaustive.py:92-94`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
+    """documents(document_id, text) → (document_id, pos, token, start, end).
+
+    Newlines are treated as token separators with identical width (1 char),
+    so character offsets into the ORIGINAL text are exact. Offsets come from
+    a running sum over a window — no Python, no UDF (S6-style window trick,
+    SURVEY.md §2.1).
+    """
+    toks = documents.select(
+        "document_id",
+        F.posexplode(F.split(F.translate("text", "\n", " "), " ")).alias("pos", "token"),
+    )
+    w = (
+        Window.partitionBy("document_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.withColumn(
+        "start",
+        F.coalesce(F.sum(F.length("token") + F.lit(1)).over(w), F.lit(0)).cast("int"),
+    ).withColumn("end", (F.col("start") + F.length("token")).cast("int"))
+
+
+def candidate_spans(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
+    """Token n-gram span candidates per document via lead() windows.
+
+    Emits (document_id, start_index, end_index, text) for every window of
+    1..max_tokens consecutive tokens — the DataFrame analogue of the
+    reference's exhaustive span enumeration bounded by max_mention_length
+    (N4: `/root/reference/modeling_E2E_exhaustive.py:87-104`).
+    """
+    w = Window.partitionBy("document_id").orderBy("pos")
+    cols = tokens
+    for j in range(1, max_tokens):
+        cols = cols.withColumn(f"_tok{j}", F.lead("token", j).over(w)).withColumn(
+            f"_end{j}", F.lead("end", j).over(w)
+        )
+    spans = None
+    for n in range(1, max_tokens + 1):
+        if n == 1:
+            s = cols.select(
+                "document_id",
+                F.col("start").alias("start_index"),
+                F.col("end").alias("end_index"),
+                F.col("token").alias("text"),
+            )
+        else:
+            parts = [F.col("token")] + [F.col(f"_tok{j}") for j in range(1, n)]
+            s = (
+                cols.filter(F.col(f"_tok{n-1}").isNotNull())
+                .select(
+                    "document_id",
+                    F.col("start").alias("start_index"),
+                    F.col(f"_end{n-1}").alias("end_index"),
+                    F.concat_ws(" ", *parts).alias("text"),
+                )
+            )
+        spans = s if spans is None else spans.unionByName(s)
+    return spans
+
+
+def detect_mentions(
+    documents: DataFrame,
+    gazetteer: DataFrame,
+    max_tokens: int = 4,
+    longest_match: bool = True,
+) -> DataFrame:
+    """Gazetteer mention detection (N1-analog + C6).
+
+    gazetteer: (entity_id, alias, ...). Matching is case-insensitive exact
+    surface form. Returns
+    (mention_id, document_id, start_index, end_index, text,
+     gazetteer_entity_id) — gazetteer_entity_id is a *candidate* signal, not
+    the final link (scoring + clustering decide downstream).
+
+    mention_id is a content hash (document_id#start-end) — deterministic
+    across reruns and parallelism levels (SURVEY.md §7.4: never
+    monotonically_increasing_id).
+    """
+    spans = candidate_spans(tokenize_with_offsets(documents), max_tokens)
+    gaz = gazetteer.select(
+        F.lower(F.col("alias")).alias("_alias_norm"), F.col("entity_id").alias("gazetteer_entity_id")
+    ).dropDuplicates(["_alias_norm"])
+    matches = spans.join(
+        F.broadcast(gaz), F.lower(spans["text"]) == gaz["_alias_norm"], "inner"
+    ).drop("_alias_norm")
+
+    if longest_match:
+        # prune spans strictly contained in a longer match of the same doc
+        a = matches.alias("a")
+        b = matches.select("document_id", "start_index", "end_index").alias("b")
+        contained = (
+            (F.col("a.document_id") == F.col("b.document_id"))
+            & (F.col("b.start_index") <= F.col("a.start_index"))
+            & (F.col("a.end_index") <= F.col("b.end_index"))
+            & (
+                (F.col("b.end_index") - F.col("b.start_index"))
+                > (F.col("a.end_index") - F.col("a.start_index"))
+            )
+        )
+        matches = a.join(b, contained, "left_anti")
+
+    return matches.select(
+        F.concat_ws(
+            "", F.col("document_id"), F.lit("#"),
+            F.col("start_index").cast("string"), F.lit("-"),
+            F.col("end_index").cast("string"),
+        ).alias("mention_id"),
+        "document_id",
+        "start_index",
+        "end_index",
+        "text",
+        "gazetteer_entity_id",
+    ).dropDuplicates(["mention_id"])

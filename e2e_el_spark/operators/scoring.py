@@ -1,0 +1,168 @@
+"""Pairwise scoring (SURVEY.md §2.11) — Arrow-batched pandas UDFs only.
+
+Three signals per the north star, combined as a weighted column expression
+(pattern of LATTE's composite score r = w_f·f + w_g·g,
+`/root/reference/LATTE/modeling_LATTE.py:131-177`):
+
+  * Jaro-Winkler surface similarity — not in the reference (its string
+    similarity is char-n-gram TF-IDF cosine, C1); pandas UDF, with Spark's
+    built-in ``levenshtein`` available as a cross-check column.
+  * TF-IDF cosine — computed relationally in ``blocking.cosine_topk``.
+  * bi-encoder embedding dot product — the reference's dual-encoder score
+    (`/root/reference/modeling_DualEncoder.py:44-66`,
+    `/root/reference/modeling_E2E_exhaustive.py:147-173`); here a batched
+    ``np.einsum`` over Arrow record batches. Test embeddings are
+    deterministic hashed char-n-gram vectors (FIXTURES.md §7) so no model
+    weights are needed; a real encoder plugs into ``embed_udf``'s slot via
+    mapInPandas iterator form.
+
+No row-at-a-time Python UDFs anywhere (enforced by a test).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
+    """Plain-python Jaro-Winkler (standard published formula)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    window = max(len1, len2) // 2 - 1
+    if window < 0:
+        window = 0
+    match1 = [False] * len1
+    match2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(len2, i + window + 1)
+        for j in range(lo, hi):
+            if not match2[j] and s2[j] == c:
+                match1[i] = True
+                match2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0.0
+    k = 0
+    for i in range(len1):
+        if match1[i]:
+            while not match2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 0.5
+            k += 1
+    jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a == b and prefix < 4:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_scale * (1.0 - jaro)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched JW over string pairs (strings are short; the per-pair
+    loop runs inside one Arrow batch, not one Python call per Spark row)."""
+    return pd.Series(
+        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hashed "bi-encoder" embeddings
+# ---------------------------------------------------------------------------
+
+
+def hash_embed_numpy(texts: "pd.Series | list[str]", dim: int = EMB_DIM) -> np.ndarray:
+    """L2-normalized char-3-gram hashing embeddings — a pure function of the
+    normalized text, so same-entity surface variants land near each other
+    (FIXTURES.md §7). Stands in for the BERT encoder at test scale."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for r, t in enumerate(texts):
+        t = (t or "").lower()
+        t = " ".join(t.split())
+        padded = f"  {t}  "
+        for i in range(len(padded) - 2):
+            g = padded[i : i + 3]
+            hv = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            out[r, hv % dim] += 1.0 if (hv >> 63) else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched text → ARRAY<FLOAT> embedding (mapInPandas-style slot
+    where a real model would be loaded once per executor)."""
+    m = hash_embed_numpy(texts)
+    return pd.Series(list(m.astype(np.float32)))
+
+
+@F.pandas_udf(T.DoubleType())
+def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched dot product via one einsum per Arrow batch — the engine
+    analogue of torch.bmm (`/root/reference/modeling_DualEncoder.py:59`)."""
+    am = np.vstack(a.to_numpy())
+    bm = np.vstack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+
+# ---------------------------------------------------------------------------
+# combined score
+# ---------------------------------------------------------------------------
+
+DEFAULT_WEIGHTS = {"jw": 0.35, "tfidf_cos": 0.3, "emb_dot": 0.35}
+
+
+def score_pairs(
+    pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    tfidf_col: str | None = "tfidf_cos",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Attach jw, emb_dot, and the weighted combined ``score`` column.
+
+    ``pairs`` must carry the two surface strings; if ``tfidf_col`` is absent
+    the TF-IDF component weight is redistributed to the other two signals.
+    """
+    w = dict(weights or DEFAULT_WEIGHTS)
+    out = pairs.withColumn("jw", jaro_winkler_udf(F.col(text_a), F.col(text_b)))
+    out = out.withColumn("_ea", embed_udf(F.col(text_a))).withColumn(
+        "_eb", embed_udf(F.col(text_b))
+    )
+    out = out.withColumn("emb_dot", dot_udf(F.col("_ea"), F.col("_eb"))).drop("_ea", "_eb")
+    if tfidf_col is not None and tfidf_col in pairs.columns:
+        score = (
+            F.col("jw") * F.lit(w["jw"])
+            + F.col(tfidf_col) * F.lit(w["tfidf_cos"])
+            + F.col("emb_dot") * F.lit(w["emb_dot"])
+        )
+    else:
+        total = w["jw"] + w["emb_dot"]
+        score = (
+            F.col("jw") * F.lit(w["jw"] / total * (w["jw"] + w["tfidf_cos"] + w["emb_dot"]))
+            + F.col("emb_dot") * F.lit(w["emb_dot"] / total * (w["jw"] + w["tfidf_cos"] + w["emb_dot"]))
+        )
+    return out.withColumn("score", score)

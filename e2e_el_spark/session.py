@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode for tests/bench; the same configs are what we would submit with
+``spark-submit --py-files`` on a real multi-executor cluster (AQE, Arrow,
+adaptive skew-join handling). Shuffle partitioning is sized to cores locally;
+on a cluster AQE coalesces/splits at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "e2e_el_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard configs.
+
+    AQE is on (runtime coalescing + skew-join splitting — the reference has no
+    optimizer at all, SURVEY.md §4); Arrow is on because every Python-boundary
+    operator in this engine is a pandas UDF / applyInPandas / mapInPandas.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (needed to switch master between bench runs)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # Clear the cached instance so a new master takes effect.
+    try:  # pragma: no cover - private API guard
+        SparkSession._instantiatedSession = None
+        from pyspark import SparkContext
+
+        SparkContext._active_spark_context = None
+    except Exception:
+        pass
