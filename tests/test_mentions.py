@@ -1,0 +1,64 @@
+"""Gazetteer mention detection: offsets, longest-match, span invariant."""
+
+from pyspark.sql import functions as F
+
+from e2e_el_spark.operators.mentions import (
+    candidate_spans,
+    detect_mentions,
+    tokenize_with_offsets,
+)
+
+
+def test_tokenize_offsets_exact(spark):
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta\ngamma")], "document_id string, text string"
+    )
+    got = sorted(
+        (r.pos, r.token, r.start, r.end) for r in tokenize_with_offsets(docs).collect()
+    )
+    assert got == [(0, "alpha", 0, 5), (1, "beta", 6, 10), (2, "gamma", 11, 16)]
+
+
+def test_candidate_spans_cover_ngrams(spark):
+    docs = spark.createDataFrame([("d1", "a b c")], "document_id string, text string")
+    toks = tokenize_with_offsets(docs)
+    got = {(r.start_index, r.end_index, r.text) for r in candidate_spans(toks, 2).collect()}
+    assert got == {
+        (0, 1, "a"), (2, 3, "b"), (4, 5, "c"),
+        (0, 3, "a b"), (2, 5, "b c"),
+    }
+
+
+def test_detect_mentions_span_invariant_and_longest_match(spark):
+    docs = spark.createDataFrame(
+        [("d1", "visit amber anchor labs today")], "document_id string, text string"
+    )
+    gaz = spark.createDataFrame(
+        [("e1", "amber anchor labs"), ("e2", "amber anchor"), ("e3", "today")],
+        "entity_id string, alias string",
+    )
+    got = detect_mentions(docs, gaz).collect()
+    by_ent = {r.gazetteer_entity_id: r for r in got}
+    # longest match wins: e2's nested "amber anchor" pruned
+    assert set(by_ent) == {"e1", "e3"}
+    # span invariant (reference assertion utils_E2E_exhaustive.py:92-94)
+    text = "visit amber anchor labs today"
+    for r in got:
+        assert text[r.start_index : r.end_index] == r.text
+
+
+def test_detect_mentions_case_insensitive(spark):
+    docs = spark.createDataFrame(
+        [("d1", "Amber Anchor Labs rocks")], "document_id string, text string"
+    )
+    gaz = spark.createDataFrame([("e1", "amber anchor labs")], "entity_id string, alias string")
+    got = detect_mentions(docs, gaz).collect()
+    assert len(got) == 1 and got[0].text == "Amber Anchor Labs"
+
+
+def test_mention_ids_content_derived(spark):
+    docs = spark.createDataFrame([("d1", "alpha beta")], "document_id string, text string")
+    gaz = spark.createDataFrame([("e1", "alpha")], "entity_id string, alias string")
+    a = detect_mentions(docs, gaz).collect()[0].mention_id
+    b = detect_mentions(docs, gaz).collect()[0].mention_id
+    assert a == b == "d1#0-5"

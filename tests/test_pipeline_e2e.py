@@ -1,0 +1,66 @@
+"""End-to-end: golden pairwise F1 ≥ 0.99, resume, determinism (BASELINE.md)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_el_spark.pipeline import evaluate_pipeline, run_pipeline
+from e2e_el_spark.synth import aliases_df, entities_df, gold_mentions_df, pages_df
+
+N_PAGES, N_ENT, SEED = 150, 80, 11
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return {
+        "pages": pages_df(spark, N_PAGES, n_entities=N_ENT, seed=SEED, partitions=8),
+        "entities": entities_df(spark, N_ENT, seed=SEED),
+        "gazetteer": aliases_df(spark, N_ENT, seed=SEED),
+        "gold": gold_mentions_df(spark, N_PAGES, n_entities=N_ENT, seed=SEED, partitions=8),
+    }
+
+
+def _run(spark, corpus, workdir):
+    return run_pipeline(
+        spark, corpus["pages"], corpus["entities"], corpus["gazetteer"], workdir
+    )
+
+
+def test_pairwise_f1_gate(spark, corpus, tmp_workdir):
+    clusters = _run(spark, corpus, tmp_workdir)
+    m = evaluate_pipeline(clusters, corpus["gold"])
+    assert m["f1"] >= 0.99, m
+
+
+def test_resume_identical_after_kill(spark, corpus, tmp_workdir):
+    c1 = _run(spark, corpus, tmp_workdir)
+    r1 = sorted((r.mention_id, r.cluster_id) for r in c1.collect())
+    # simulate a crash after stage 03: wipe later stages, rerun
+    for stage in ["04_scored", "05_links", "06_clusters"]:
+        os.remove(os.path.join(tmp_workdir, stage, "_STAGE_COMPLETE"))
+        shutil.rmtree(os.path.join(tmp_workdir, stage, "data"), ignore_errors=True)
+    c2 = _run(spark, corpus, tmp_workdir)
+    r2 = sorted((r.mention_id, r.cluster_id) for r in c2.collect())
+    assert r1 == r2
+
+
+def test_lineage_recorded_per_partition(spark, corpus, tmp_workdir):
+    _run(spark, corpus, tmp_workdir)
+    lin = spark.read.parquet(os.path.join(tmp_workdir, "_lineage"))
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert stages == {
+        "01_extract", "02_mentions", "03_pairs", "04_scored", "05_links", "06_clusters"
+    }
+    assert set(lin.columns) == {"stage", "partition_id", "rows_out", "wall_ms", "ts"}
+    # per-partition counters sum to stage row counts
+    total = lin.filter(F.col("stage") == "06_clusters").agg(F.sum("rows_out")).collect()[0][0]
+    assert total == spark.read.parquet(os.path.join(tmp_workdir, "06_clusters", "data")).count()
+
+
+def test_rerun_from_scratch_deterministic(spark, corpus, tmp_path):
+    w1, w2 = str(tmp_path / "a"), str(tmp_path / "b")
+    r1 = sorted((r.mention_id, r.cluster_id) for r in _run(spark, corpus, w1).collect())
+    r2 = sorted((r.mention_id, r.cluster_id) for r in _run(spark, corpus, w2).collect())
+    assert r1 == r2
