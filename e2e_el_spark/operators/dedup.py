@@ -1,0 +1,240 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Five dedup families over a documents table (doc_id, text), each scalable:
+exact (hash groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. The MinHash machinery is shared with blocking
+(`e2e_el_spark.operators.blocking`). The reference's only dedup is
+first-occurrence-wins on entity ids (`/root/reference/candidate_selection.py:33-37`,
+U3) — these operators generalize that to content-level dedup at corpus scale.
+
+All ids kept as the caller's id column; "keeper" selection is deterministic
+(min id), so reruns and parallelism levels agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from e2e_el_spark.operators.blocking import (
+    lsh_band_keys,
+    minhash_signatures,
+    same_block_pairs,
+    shingles,
+)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (id, group_size, keeper, is_duplicate).
+
+    One shuffle on xxhash64(text) — never on the full text bytes.
+    """
+    h = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    w = Window.partitionBy("_h")
+    wo = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        h.withColumn("group_size", F.count("*").over(w))
+        .withColumn("keeper", F.first(id_col).over(wo))
+        .select(
+            id_col,
+            "group_size",
+            "keeper",
+            (F.col(id_col) != F.col("keeper")).alias("is_duplicate"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per identical text (deterministic first-wins,
+    the distributed analogue of the reference's dict insert U3)."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 64, bands: int = 16, shingle_width: int = 5,
+    jaccard_threshold: float = 0.8, max_block_size: int = 500,
+) -> DataFrame:
+    """MinHash → LSH bands → same-band pairs → verify with exact Jaccard.
+
+    The classic shingle→minhash→band→bucket-join near-dup pipeline. Band
+    collisions are *candidates*; the verify step computes true shingle
+    Jaccard per pair so the threshold is exact, not probabilistic.
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_width)
+    keys = lsh_band_keys(sigs, id_col, bands, rows)
+    cand = same_block_pairs(keys, id_col, max_block_size=max_block_size).select(
+        "id_a", "id_b"
+    )
+    sh = shingles(df, id_col, text_col, shingle_width)
+    sh_count = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sh_count.withColumnRenamed("_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sh_count.withColumnRenamed("_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, shingle_width: int = 3) -> DataFrame:
+    """64-bit SimHash per document, built-ins only: per-shingle xxhash64,
+    per-bit sign votes via groupBy sum, reassembled with bit arithmetic.
+
+    (id, simhash BIGINT). Near-dups differ in few bits (compare with
+    bit_count(simhash_a ^ simhash_b) ≤ k).
+    """
+    sh = shingles(df, id_col, text_col, shingle_width)
+    h = sh.select("_id", F.xxhash64("shingle").alias("_h"))
+    # vote per bit: +1 if bit set else -1; sum over shingles; bit = sum > 0
+    bits = h.select(
+        "_id",
+        *[
+            F.when(F.expr(f"(_h >> {b}) & 1") == 1, 1).otherwise(-1).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    votes = bits.groupBy("_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    # assemble: shiftleft on bigint; bit 63 via signed arithmetic is fine
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.expr(f"CAST(1 AS BIGINT) << {b}")).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col("_id").alias(id_col), acc.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, shingle_width: int = 3, band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup join: block on 16-bit bands (a pair within hamming
+    distance h < #bands must agree on ≥1 band — pigeonhole), verify with
+    bit_count(xor). Returns (id_a, id_b, hamming)."""
+    sims = simhash(df, id_col, text_col, shingle_width)
+    n_bands = 64 // band_bits
+    banded = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(i)),
+                        F.expr(f"CAST((simhash >> {i * band_bits}) & {(1 << band_bits) - 1} AS STRING)"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block_key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.5, token_level: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 n-gram.
+
+    Token-level n-grams (word shingles) by default. The inverted-index join
+    (gram → doc list) makes this a sparse self-join, not a cartesian:
+    |pairs| is bounded by co-occurrence, and high-frequency grams can be
+    capped upstream. Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    if token_level:
+        gram_expr = (
+            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
+            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+            f"ELSE array(lower({text_col})) END"
+        )
+    else:
+        gram_expr = (
+            f"CASE WHEN length({text_col}) >= {n} THEN "
+            f"transform(sequence(1, length({text_col}) - {n} + 1), i -> substr({text_col}, i, {n})) "
+            f"ELSE array({text_col}) END"
+        )
+    grams = df.select(F.col(id_col).alias("_id"), F.explode_outer(F.expr(gram_expr)).alias("gram")).distinct()
+    counts = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("_id").alias("id_a"), "gram")
+    b = grams.select(F.col("_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(counts.withColumnRenamed("_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, id_col: str, vec_col: str,
+    cosine_threshold: float = 0.95, n_planes: int = 8, seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket join + exact
+    cosine verify, entirely JVM-side (aggregate/zip_with arithmetic).
+
+    Deterministic hyperplanes derive from xxhash64(seed, plane, dim) — a
+    pure function, no RNG state. Pairs in the same sign-pattern bucket get
+    exact cosine; ≥ threshold survives. Recall is per-bucket (near-dups with
+    opposite signs on some plane are missed) — raise recall by unioning
+    several plane-sets (seed+i), the standard multi-table LSH trade.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    sign_bits = []
+    for p in range(n_planes):
+        terms = "+".join(
+            f"(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * "
+            f"((pmod(xxhash64({seed}, {p}, {d}), 2000001) - 1000000) / 1000000.0))"
+            for d in range(dim)
+        )
+        sign_bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    bucket = F.expr("concat(" + ", ".join(sign_bits) + ")")
+    keyed = embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
+    na = "sqrt(aggregate(va, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))"
+    nb = "sqrt(aggregate(vb, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))"
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr(f"({dot}) / (({na}) * ({nb}))").alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
