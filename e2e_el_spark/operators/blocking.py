@@ -121,27 +121,33 @@ def build_tfidf_vocab(
 def tfidf_vectors(
     df: DataFrame, id_col: str, text_col: str, vocab: DataFrame,
     n_max: int = 5, compat: bool = True, lowercase: bool = False,
-    stopwords: list[str] | None = None,
+    stopwords: list[str] | None = None, min_weight: float | None = None,
 ) -> DataFrame:
     """Sparse L2-normalized tf·idf rows (id, gram, weight) (A5).
 
     lowercase defaults False for parity: the reference vectorizes the RAW
     entity/mention text while the vocab corpus was lowercased
     (`/root/reference/candidate_selection.py:168,187` vs :106-110).
+
+    ``min_weight`` prunes near-zero entries AFTER normalization — the scale
+    knob for the sparse-join cosine. Ubiquitous grams (spaces, single chars)
+    have idf ≈ 0 so weight ≈ 0: they change the cosine by O(w²) but multiply
+    the gram join by |docs|² — at 100 TB that single hot gram IS the job.
+    None (default) keeps exact reference parity.
     """
     grams = ngram_counts(df, id_col, text_col, n_max, compat, lowercase, stopwords)
     weighted = grams.join(vocab.select("gram", "idf"), "gram").select(
         "_id", "gram", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = weighted.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm"))
-    return (
-        weighted.join(norms, "_id")
-        .select(
-            F.col("_id").alias(id_col),
-            "gram",
-            (F.col("w") / F.col("_norm")).alias("weight"),
-        )
+    out = weighted.join(norms, "_id").select(
+        F.col("_id").alias(id_col),
+        "gram",
+        (F.col("w") / F.col("_norm")).alias("weight"),
     )
+    if min_weight is not None:
+        out = out.filter(F.col("weight") >= min_weight)
+    return out
 
 
 def sparse_pair_scores(

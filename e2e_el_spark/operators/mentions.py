@@ -59,28 +59,40 @@ def candidate_spans(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
         cols = cols.withColumn(f"_tok{j}", F.lead("token", j).over(w)).withColumn(
             f"_end{j}", F.lead("end", j).over(w)
         )
-    spans = None
+    # ONE window pass + one explode of an array<struct> — not a 4-way union
+    # that would re-evaluate the window per branch
+    variants = []
     for n in range(1, max_tokens + 1):
         if n == 1:
-            s = cols.select(
-                "document_id",
-                F.col("start").alias("start_index"),
-                F.col("end").alias("end_index"),
-                F.col("token").alias("text"),
+            variants.append(
+                F.struct(
+                    F.col("start").alias("start_index"),
+                    F.col("end").alias("end_index"),
+                    F.col("token").alias("text"),
+                )
             )
         else:
             parts = [F.col("token")] + [F.col(f"_tok{j}") for j in range(1, n)]
-            s = (
-                cols.filter(F.col(f"_tok{n-1}").isNotNull())
-                .select(
-                    "document_id",
-                    F.col("start").alias("start_index"),
-                    F.col(f"_end{n-1}").alias("end_index"),
-                    F.concat_ws(" ", *parts).alias("text"),
+            variants.append(
+                F.when(
+                    F.col(f"_tok{n-1}").isNotNull(),
+                    F.struct(
+                        F.col("start").alias("start_index"),
+                        F.col(f"_end{n-1}").alias("end_index"),
+                        F.concat_ws(" ", *parts).alias("text"),
+                    ),
                 )
             )
-        spans = s if spans is None else spans.unionByName(s)
-    return spans
+    return (
+        cols.select("document_id", F.explode(F.array(*variants)).alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(
+            "document_id",
+            F.col("_s.start_index").alias("start_index"),
+            F.col("_s.end_index").alias("end_index"),
+            F.col("_s.text").alias("text"),
+        )
+    )
 
 
 def detect_mentions(
@@ -110,19 +122,25 @@ def detect_mentions(
     ).drop("_alias_norm")
 
     if longest_match:
-        # prune spans strictly contained in a longer match of the same doc
-        a = matches.alias("a")
-        b = matches.select("document_id", "start_index", "end_index").alias("b")
-        contained = (
-            (F.col("a.document_id") == F.col("b.document_id"))
-            & (F.col("b.start_index") <= F.col("a.start_index"))
-            & (F.col("a.end_index") <= F.col("b.end_index"))
-            & (
-                (F.col("b.end_index") - F.col("b.start_index"))
-                > (F.col("a.end_index") - F.col("a.start_index"))
-            )
+        # prune spans contained in a longer match of the same doc — a single
+        # window pass, not a self-join (which would evaluate the whole
+        # spans⋈gazetteer subtree twice): ordering by (start asc, end desc),
+        # a span is contained iff some PRECEDING span ends at-or-after it
+        # (preceding ⇒ starts at-or-before it; equal spans can't repeat
+        # because the gazetteer is deduped per normalized alias).
+        w = (
+            Window.partitionBy("document_id")
+            .orderBy(F.asc("start_index"), F.desc("end_index"))
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        matches = a.join(b, contained, "left_anti")
+        matches = (
+            matches.withColumn("_max_prev_end", F.max("end_index").over(w))
+            .filter(
+                F.col("_max_prev_end").isNull()
+                | (F.col("_max_prev_end") < F.col("end_index"))
+            )
+            .drop("_max_prev_end")
+        )
 
     return matches.select(
         F.concat_ws(

@@ -46,10 +46,25 @@ class PipelineConfig:
     compat_ngrams: bool = True
     prefix_len: int = 4
     lsh_hashes: int = 32
-    lsh_bands: int = 8
-    lsh_rows_per_band: int = 4
+    lsh_bands: int = 16
+    lsh_rows_per_band: int = 2
     link_threshold: float = 0.55
     max_mention_tokens: int = 4
+    # prune near-zero tf·idf entries before the gram join (see
+    # blocking.tfidf_vectors — the 100 TB hot-gram guard); None = exact
+    tfidf_min_weight: float | None = 0.05
+    # candidate GENERATION uses only grams whose document frequency is below
+    # this fraction of the corpus (inverted-index common-term pruning) —
+    # ubiquitous grams still count in the exact rescore, they just don't
+    # enumerate pairs
+    max_gen_df_ratio: float = 0.02
+    # prefix filtering: only each vector's gen_prefix_len RAREST grams
+    # enumerate candidates (a true near-match must share one of them)
+    gen_prefix_len: int = 6
+    # token-prefix blocks join at most this many entities per key (ordered
+    # by entity_id — deterministic); the cap is the mention-entity analogue
+    # of same_block_pairs' max_block_size
+    max_entities_per_block: int = 20
     weights: dict = field(
         default_factory=lambda: {"jw": 0.35, "tfidf_cos": 0.3, "emb_dot": 0.35}
     )
@@ -78,62 +93,150 @@ def entity_block_keys(entities: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def candidate_pairs(
     mentions: DataFrame, entities: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """BLOCK + PAIRS: (mention_id, entity_id, tfidf_cos).
+    """BLOCK + PAIRS at SURFACE level: (surface, entity_id, tfidf_cos).
+
+    Scoring signals depend only on the mention's surface string, so all
+    blocking/scoring runs per DISTINCT surface and joins back to mentions in
+    LINKS — the reference's own candidate dictionaries are keyed by mention
+    text, not mention instance (C6, `/root/reference/mention_candidates_AIDA.py:14-31`).
+    At web scale this collapses ~10^12 mentions to ~10^8 surfaces before the
+    expensive pair work.
 
     Candidates = (token-prefix blocks ∪ LSH-band blocks ∪ TF-IDF top-k),
     each with its exact TF-IDF cosine attached (0 when no vocabulary gram is
-    shared). The entity side of every block join is broadcast — the KB is the
-    small dimension (SURVEY.md §1.3).
+    shared). The entity side of every block join is broadcast — the KB is
+    the small dimension (SURVEY.md §1.3).
     """
+    surfaces = mentions.select(F.col("text").alias("surface")).distinct().cache()
+    corpus = entities.select(F.col("entity_id").alias("cid"), F.col("name").alias("ctext")).unionByName(
+        surfaces.select(F.col("surface").alias("cid"), F.col("surface").alias("ctext"))
+    )
+    n_corpus = corpus.count()
     vocab = build_tfidf_vocab(
-        entities.select(F.col("entity_id").alias("cid"), F.col("name").alias("ctext")).unionByName(
-            mentions.select(F.col("mention_id").alias("cid"), F.col("text").alias("ctext"))
-        ),
-        "cid", "ctext", cfg.ngram_max, cfg.vocab_size, cfg.compat_ngrams,
+        corpus, "cid", "ctext", cfg.ngram_max, cfg.vocab_size, cfg.compat_ngrams,
+    ).cache()  # tiny (≤ vocab_size rows) but feeds both vector builds
+    ev = tfidf_vectors(
+        entities, "entity_id", "name", vocab, cfg.ngram_max, cfg.compat_ngrams,
+        min_weight=cfg.tfidf_min_weight,
+    ).cache()
+    sv = tfidf_vectors(
+        surfaces, "surface", "surface", vocab, cfg.ngram_max, cfg.compat_ngrams,
+        min_weight=cfg.tfidf_min_weight,
+    ).cache()
+
+    # --- candidate GENERATION: inverted index over RARE grams only.
+    # A gram in >max_gen_df_ratio of the corpus enumerates O(df²) pairs —
+    # at 10^8 surfaces one common word would emit 10^12 candidates. Rare
+    # grams bound every posting list; common grams still contribute to the
+    # exact rescore below, they just never enumerate pairs.
+    rare = vocab.filter(F.col("df") <= max(2.0, cfg.max_gen_df_ratio * n_corpus)).select("gram", "df")
+
+    def _gen_prefix(vecs: DataFrame, id_col: str) -> DataFrame:
+        # prefix filtering: keep each id's gen_prefix_len rarest grams —
+        # a matching pair shares its rarest gram with high probability, so
+        # the inverted index only needs the prefix, not the whole vector
+        pw = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("gram"))
+        return (
+            vecs.join(F.broadcast(rare), "gram")
+            .withColumn("_pr", F.row_number().over(pw))
+            .filter(F.col("_pr") <= cfg.gen_prefix_len)
+            .select(id_col, "gram")
+        )
+
+    gen = _gen_prefix(sv, "surface").join(_gen_prefix(ev, "entity_id"), "gram").select(
+        "surface", "entity_id"
     )
-    ev = tfidf_vectors(entities, "entity_id", "name", vocab, cfg.ngram_max, cfg.compat_ngrams)
-    mv = tfidf_vectors(mentions, "mention_id", "text", vocab, cfg.ngram_max, cfg.compat_ngrams)
 
-    scores = sparse_pair_scores(mv, "mention_id", ev, "entity_id")
-    w = Window.partitionBy("mention_id").orderBy(F.desc("tfidf_cos"), F.asc("entity_id"))
-    topk = (
-        scores.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cfg.tfidf_topk)
-        .select("mention_id", "entity_id")
+    sb = mention_block_keys(
+        surfaces.select(F.col("surface").alias("mention_id"), F.col("surface").alias("text")), cfg
+    ).select(F.col("mention_id").alias("surface"), "block_key")
+    bw = Window.partitionBy("block_key").orderBy("entity_id")
+    eb = (
+        entity_block_keys(entities, cfg)
+        .withColumn("_rn", F.row_number().over(bw))
+        .filter(F.col("_rn") <= cfg.max_entities_per_block)
+        .drop("_rn")
     )
+    blocked = sb.join(F.broadcast(eb), "block_key").select("surface", "entity_id")
 
-    mb = mention_block_keys(mentions, cfg)
-    eb = entity_block_keys(entities, cfg)
-    blocked = mb.join(F.broadcast(eb), "block_key").select("mention_id", "entity_id")
+    cands = blocked.unionByName(gen).dropDuplicates(["surface", "entity_id"])
 
-    cands = blocked.unionByName(topk).dropDuplicates(["mention_id", "entity_id"])
-    return cands.join(F.broadcast(scores), ["mention_id", "entity_id"], "left").select(
-        "mention_id", "entity_id", F.coalesce("tfidf_cos", F.lit(0.0)).alias("tfidf_cos")
+    # --- exact rescore of candidates only: cands ⋈ surface vectors ⋈ entity
+    # vectors on (entity_id, gram), hash-agg the products. Cost is
+    # |cands| × grams-per-surface — bounded, unlike the all-pairs gram join.
+    rescored = (
+        cands.join(sv, "surface")
+        .join(ev.withColumnRenamed("weight", "_ew"), ["entity_id", "gram"])
+        .groupBy("surface", "entity_id")
+        .agg(F.sum(F.col("weight") * F.col("_ew")).alias("tfidf_cos"))
+    )
+    out = cands.join(rescored, ["surface", "entity_id"], "left").select(
+        "surface", "entity_id", F.coalesce("tfidf_cos", F.lit(0.0)).alias("tfidf_cos")
+    )
+    # reference keeps top-k candidates per mention (num_candidates=10,
+    # run_E2E_exhaustive.py:880-882); keep a few× that pre-scoring
+    w = Window.partitionBy("surface").orderBy(F.desc("tfidf_cos"), F.asc("entity_id"))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cfg.tfidf_topk * 2)
+        .drop("_rk")
     )
 
 
 def score_candidates(
-    cands: DataFrame, mentions: DataFrame, entities: DataFrame, cfg: PipelineConfig
+    cands: DataFrame, mentions: DataFrame, entities: DataFrame, cfg: PipelineConfig,
+    gazetteer: DataFrame | None = None,
 ) -> DataFrame:
-    """Attach surfaces, run the vectorized scoring UDFs, combine weights."""
-    pairs = (
-        cands.join(mentions.select("mention_id", F.col("text").alias("text_a")), "mention_id")
-        .join(
-            F.broadcast(entities.select("entity_id", F.col("name").alias("text_b"))),
-            "entity_id",
+    """Vectorized scoring UDFs per (surface, entity) pair + weighted combine.
+
+    The surface is compared against EVERY known alias of the candidate
+    entity (broadcast gazetteer) and the per-entity max is kept — an exact
+    alias hit scores jw = emb_dot = 1 even when the canonical name differs
+    (the reference's candidate dictionaries are alias-keyed the same way,
+    `/root/reference/mention_candidates_AIDA.py:14-31`). Falls back to
+    canonical names when no gazetteer is supplied.
+    """
+    if gazetteer is not None:
+        names = gazetteer.select("entity_id", F.col("alias").alias("text_b"))
+    else:
+        names = entities.select("entity_id", F.col("name").alias("text_b"))
+    pairs = cands.join(F.broadcast(names), "entity_id").withColumn(
+        "text_a", F.col("surface")
+    )
+    scored = score_pairs(pairs, "text_a", "text_b", "tfidf_cos", cfg.weights)
+    w = dict(cfg.weights)
+    return (
+        scored.groupBy("surface", "entity_id")
+        .agg(
+            F.first("tfidf_cos").alias("tfidf_cos"),
+            F.max("jw").alias("jw"),
+            F.max("emb_dot").alias("emb_dot"),
+        )
+        .withColumn(
+            "score",
+            F.col("jw") * F.lit(w["jw"])
+            + F.col("tfidf_cos") * F.lit(w["tfidf_cos"])
+            + F.col("emb_dot") * F.lit(w["emb_dot"]),
         )
     )
-    return score_pairs(pairs, "text_a", "text_b", "tfidf_cos", cfg.weights)
 
 
 def link_top1(scored: DataFrame, threshold: float) -> DataFrame:
-    """Per-mention argmax entity with score ≥ threshold (P7 + T5)."""
-    w = Window.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    """Per-surface argmax entity with score ≥ threshold (P7 + T5): the
+    surface-level version of the reference's sigmoid-γ prune + top-1."""
+    w = Window.partitionBy("surface").orderBy(F.desc("score"), F.asc("entity_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter((F.col("_rk") == 1) & (F.col("score") >= threshold))
-        .select("mention_id", "entity_id", "score")
+        .select("surface", "entity_id", "score")
     )
+
+
+def mention_links(links: DataFrame, mentions: DataFrame) -> DataFrame:
+    """surface links → mention links (join back on the surface string)."""
+    return mentions.select("mention_id", F.col("text").alias("surface")).join(
+        links, "surface"
+    ).select("mention_id", "entity_id", "score")
 
 
 def clusters_from_links(links: DataFrame, mentions: DataFrame) -> DataFrame:
@@ -171,9 +274,12 @@ def run_pipeline(
     )
     cands = runner.run("03_pairs", lambda: candidate_pairs(mentions, entities, cfg))
     scored = runner.run(
-        "04_scored", lambda: score_candidates(cands, mentions, entities, cfg)
+        "04_scored", lambda: score_candidates(cands, mentions, entities, cfg, gazetteer)
     )
-    links = runner.run("05_links", lambda: link_top1(scored, cfg.link_threshold))
+    links = runner.run(
+        "05_links",
+        lambda: mention_links(link_top1(scored, cfg.link_threshold), mentions),
+    )
     clusters = runner.run(
         "06_clusters",
         lambda: clusters_from_links(links, mentions).join(

@@ -128,11 +128,13 @@ def _zipf_entity(seed: int, key: str, n_entities: int, skew: float = 1.1) -> int
     return min(max(rank - 1, 0), n_entities - 1)
 
 
-def gen_page(seed: int, i: int, n_entities: int) -> dict:
-    """One page + its gold mentions. Pure function of (seed, i, n_entities)."""
+def gen_page(seed: int, i: int, n_entities: int, size_mult: int = 1) -> dict:
+    """One page + its gold mentions. Pure function of (seed, i, n_entities,
+    size_mult). ``size_mult`` scales paragraph/mention counts — bench corpora
+    use larger pages (real Common-Crawl pages are KBs, not a tweet)."""
     lang = _LANGS[_rint(f"{seed}/p/{i}/lang", len(_LANGS))]
-    n_mentions = 1 + _rint(f"{seed}/p/{i}/nm", 6)
-    n_paras = 1 + _rint(f"{seed}/p/{i}/np", 3)
+    n_mentions = (1 + _rint(f"{seed}/p/{i}/nm", 6)) * size_mult
+    n_paras = (1 + _rint(f"{seed}/p/{i}/np", 3)) * size_mult
 
     title_words = [
         _FILLER[_rint(f"{seed}/p/{i}/tw/{k}", len(_FILLER))] for k in range(3)
@@ -236,12 +238,13 @@ MENTIONS_SCHEMA = (
 )
 
 
-def pages_df(spark, n_pages: int, n_entities: int = 200, seed: int = 42, partitions: int = 32):
+def pages_df(spark, n_pages: int, n_entities: int = 200, seed: int = 42, partitions: int = 32,
+             size_mult: int = 1):
     """Distributed pages table: spark.range → mapInPandas generator."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_page(seed, int(i), n_entities) for i in pdf["id"]]
+            rows = [gen_page(seed, int(i), n_entities, size_mult) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "url": [r["url"] for r in rows],
@@ -255,14 +258,15 @@ def pages_df(spark, n_pages: int, n_entities: int = 200, seed: int = 42, partiti
     return spark.range(0, n_pages, 1, partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 
-def gold_mentions_df(spark, n_pages: int, n_entities: int = 200, seed: int = 42, partitions: int = 32):
+def gold_mentions_df(spark, n_pages: int, n_entities: int = 200, seed: int = 42, partitions: int = 32,
+                     size_mult: int = 1):
     """Gold mention annotations for the same (seed, n_pages) corpus."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for i in pdf["id"]:
-                recs.extend(gen_page(seed, int(i), n_entities)["mentions"])
+                recs.extend(gen_page(seed, int(i), n_entities, size_mult)["mentions"])
             yield pd.DataFrame(
                 recs,
                 columns=[
