@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+1. Headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query seconds.
+2. The flagship ER pipeline on the deterministic synthetic pages corpus at
+   TWO parallelism levels, N and 4N cores (default local[2] vs local[8] —
+   chosen because this sandbox VM itself stops scaling past ~8-16 processes:
+   raw multiprocessing blake2b gives 0.95 efficiency 2→8 but only 0.59
+   8→32, see BENCH/BASELINE.md), each level in its own subprocess so JIT
+   warmup is symmetric. Reports pages/sec at both + scaling efficiency.
+
+Prints ONE json line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "throughput": {...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, EL_BENCH_PAGES,
+EL_BENCH_MULT, EL_BENCH_ENTITIES, EL_BENCH_TRIALS, EL_SCALING_LEVELS,
+EL_SKIP_SCALING=1 (headline queries only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_orders_by_segment",
+    "q03_brand_revenue_broadcast",
+    "q07_topk_per_group",
+    "q12_running_revenue",
+    "q16_char_ngram_counts",
+    "q17_tfidf_vocab",
+    "q18_langid",
+    "q20_token_budget_audit",
+    "q23_brute_force_ann",
+    "q26_doc_segmentation",
+    "q30_minhash_near_dups",
+]
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+    from e2e_el_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="el_bench_queries", master=f"local[{cpus}]",
+                      shuffle_partitions=min(cpus, 32))
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    # warm the parquet scans + JIT once with the cheapest query
+    qs["q01_pricing_summary"](spark, sf_dir).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    spark.stop()
+    return out
+
+
+def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int) -> dict:
+    results = {}
+    for cpus in levels:
+        cmd = [sys.executable, "-m", "e2e_el_spark.bench_worker",
+               str(cpus), str(pages), str(mult), str(ents), str(trials)]
+        env = dict(os.environ, PYTHONPATH=REPO)
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+        m = re.search(r"RESULT (\{.*\})", proc.stdout)
+        if not m:
+            results[f"n{cpus}"] = {"error": proc.stderr[-500:]}
+            continue
+        results[f"n{cpus}"] = json.loads(m.group(1))
+    lo, hi = f"n{levels[0]}", f"n{levels[-1]}"
+    if "best_wall_s" in results.get(lo, {}) and "best_wall_s" in results.get(hi, {}):
+        ratio = results[lo]["best_wall_s"] / results[hi]["best_wall_s"]
+        factor = levels[-1] / levels[0]
+        results["throughput_ratio"] = round(ratio, 3)
+        results["scaling_efficiency"] = round(ratio / factor, 3)
+    return results
+
+
+def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH — measured numbers (latest `python bench.py` run)",
+        "",
+        f"Headline queries at `{sf_dir}`:",
+        "",
+        "| query | sec |",
+        "| --- | --- |",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in queries.items()]
+    lines += [
+        "",
+        "## Two-cluster-size scaling evidence (north rule: N vs 4N)",
+        "",
+        "Same flagship ER job, same input, each parallelism level in its own",
+        "process (symmetric JIT warmup), best of trials:",
+        "",
+        "```json",
+        json.dumps(scaling, indent=2),
+        "```",
+        "",
+        "Level choice: this sandbox VM itself stops scaling past ~8-16",
+        "processes — raw CPU-only multiprocessing (blake2b hashing, zero",
+        "shared state) measures 0.95 efficiency from 2→8 procs but only",
+        "0.59 from 8→32, so local[8] vs local[32] cannot evidence job",
+        "scaling on this host. N=2 vs 4N=8 cores is the honest pair.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(re.search(r"sf([\d.]+)", sf_dir).group(1)) if re.search(r"sf([\d.]+)", sf_dir) else 0.1
+
+    queries = run_headline(sf_dir, cpus)
+
+    scaling: dict = {}
+    if os.environ.get("EL_SKIP_SCALING") != "1":
+        levels = [int(x) for x in os.environ.get("EL_SCALING_LEVELS", "2,8").split(",")]
+        pages = int(os.environ.get("EL_BENCH_PAGES", "40000"))
+        mult = int(os.environ.get("EL_BENCH_MULT", "8"))
+        ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
+        trials = int(os.environ.get("EL_BENCH_TRIALS", "1"))
+        scaling = run_scaling(levels, pages, mult, ents, trials)
+
+    write_bench_md(queries, scaling, sf_dir)
+    total = round(sum(queries.values()), 2)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "throughput": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Subprocess bench worker: one parallelism level per process so JIT warmup
+is symmetric across levels (a shared JVM would hand the second level a
+fully-warmed compiler). Prints one RESULT json line.
+
+Usage: python -m e2e_el_spark.bench_worker CPUS PAGES SIZE_MULT N_ENTITIES TRIALS
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+from e2e_el_spark.session import get_spark
+from e2e_el_spark.synth import aliases_df, entities_df, pages_df
+from e2e_el_spark.pipeline import run_pipeline
+
+
+def main() -> None:
+    cpus, n_pages, mult, n_ents, trials = (int(a) for a in sys.argv[1:6])
+    workdir = f"/dev/shm/el_bench_{cpus}"
+    spark = get_spark(app_name=f"el_bench_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    # warmup: exercise JIT, Python workers, Arrow, shuffle paths
+    shutil.rmtree(f"{workdir}_warm", ignore_errors=True)
+    wp = pages_df(spark, 400, n_entities=n_ents, seed=2, partitions=cpus, size_mult=1)
+    run_pipeline(
+        spark, wp, entities_df(spark, n_ents, seed=2), aliases_df(spark, n_ents, seed=2),
+        f"{workdir}_warm",
+    ).count()
+
+    pages = pages_df(spark, n_pages, n_entities=n_ents, seed=1,
+                     partitions=max(cpus * 2, 16), size_mult=mult)
+    ents = entities_df(spark, n_ents, seed=1)
+    gaz = aliases_df(spark, n_ents, seed=1)
+    walls = []
+    n_clusters = 0
+    for _ in range(trials):
+        shutil.rmtree(workdir, ignore_errors=True)
+        t0 = time.time()
+        n_clusters = run_pipeline(spark, pages, ents, gaz, workdir).count()
+        walls.append(round(time.time() - t0, 2))
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(f"{workdir}_warm", ignore_errors=True)
+    best = min(walls)
+    print("RESULT " + json.dumps({
+        "cpus": cpus, "pages": n_pages, "size_mult": mult, "entities": n_ents,
+        "clusters": n_clusters, "walls_s": walls, "best_wall_s": best,
+        "pages_per_sec": round(n_pages / best, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

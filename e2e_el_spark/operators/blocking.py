@@ -97,14 +97,16 @@ def ngram_counts(df: DataFrame, id_col: str, text_col: str, n_max: int = 5,
 def build_tfidf_vocab(
     corpus: DataFrame, id_col: str, text_col: str,
     n_max: int = 5, vocab_size: int = 100_000, compat: bool = True,
-    stopwords: list[str] | None = None,
+    stopwords: list[str] | None = None, n_docs: int | None = None,
 ) -> DataFrame:
-    """Vocabulary (gram, idf) from a corpus DataFrame.
+    """Vocabulary (gram, df, idf) from a corpus DataFrame.
 
     Global top-k by total term frequency (ties broken by gram for
     determinism), df = #docs containing the gram, idf = log(N/df).
+    Pass ``n_docs`` when the caller already counted the corpus (saves a job).
     """
-    n_docs = corpus.count()
+    if n_docs is None:
+        n_docs = corpus.count()
     grams = ngram_counts(corpus, id_col, text_col, n_max, compat, True, stopwords)
     totals = grams.groupBy("gram").agg(
         F.sum("tf").alias("total_tf"), F.countDistinct("_id").alias("df")

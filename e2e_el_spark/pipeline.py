@@ -114,6 +114,7 @@ def candidate_pairs(
     n_corpus = corpus.count()
     vocab = build_tfidf_vocab(
         corpus, "cid", "ctext", cfg.ngram_max, cfg.vocab_size, cfg.compat_ngrams,
+        n_docs=n_corpus,
     ).cache()  # tiny (≤ vocab_size rows) but feeds both vector builds
     ev = tfidf_vectors(
         entities, "entity_id", "name", vocab, cfg.ngram_max, cfg.compat_ngrams,

@@ -1,0 +1,88 @@
+"""Dedup family: exact, MinHash+LSH verify, SimHash, n-gram Jaccard,
+embedding-cosine near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_el_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),     # near dup
+        (4, "spark plans are optimized by catalyst rules"),
+        (5, "completely different text about window functions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r.doc_id: r for r in exact_duplicates(docs, "doc_id", "text").collect()}
+    assert got[1].group_size == 2 and got[2].group_size == 2
+    assert got[1].keeper == 1 and got[2].keeper == 1
+    assert not got[1].is_duplicate and got[2].is_duplicate
+    assert got[3].group_size == 1
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_near_duplicates(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    s1 = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical text → identical simhash
+    # hamming(1,3) is 13 for these texts; 4-bit bands (16 bands) GUARANTEE
+    # pair discovery up to hamming 15 (pigeonhole) — the standard 16-bit
+    # banding only guarantees hamming < 4
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=15, band_bits=4
+    ).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 15
+    assert (4, 5) not in pairs  # unrelated text ~ hamming 32
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    ).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_duplicates(
+        df, "vec_id", "embedding", cosine_threshold=0.95, n_planes=4
+    ).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(3 not in p for p in pairs)
