@@ -61,9 +61,10 @@ def extract_features(
                 b = bytes(payload) if payload is not None else b""
                 img = decode_image(b, fake=fake)
                 pooled = img.mean(axis=(0, 1))  # 3 channel means
-                hv = np.frombuffer(
-                    hashlib.sha256(b).digest()[: (dim - 3) * 4], dtype=np.uint32
-                ).astype(np.float32)
+                need = (dim - 3) * 4
+                digest = hashlib.sha256(b).digest()
+                digest = (digest * (need // len(digest) + 1))[:need]
+                hv = np.frombuffer(digest, dtype=np.uint32).astype(np.float32)
                 hv = hv / np.float32(2**32)
                 feats.append(np.concatenate([pooled / 255.0, hv]).astype(np.float32))
                 sizes.append(len(b))

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises must be
+visible in explain() output — pushdown, pruning, broadcast, codegen."""
+
+from pyspark.sql import functions as F
+
+from e2e_el_spark.extract import extract_documents
+from e2e_el_spark.operators.mentions import detect_mentions
+from e2e_el_spark.synth import aliases_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, tmp_path):
+    p = str(tmp_path / "li")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("x").alias("s")
+    ).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("k") > 50).select("k")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)]" in plan, plan
+    # column pruning: v and s never read
+    assert "ReadSchema: struct<k:bigint>" in plan, plan
+
+
+def test_extract_prunes_stored_text_column(spark, tmp_path):
+    """EXTRACT must read only (url, html) — the stored text column is the
+    oracle, not an input (extract.py docstring contract)."""
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("u1", b"<p>x</p>", "x", "en")], "url string, html binary, text string, lang string"
+    ).write.parquet(p)
+    docs = extract_documents(spark.read.parquet(p))
+    plan = _plan(docs)
+    assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0], plan
+    assert "url" in plan and "html" in plan
+
+
+def test_gazetteer_join_is_broadcast(spark):
+    docs = spark.createDataFrame([("d1", "alpha beta")], "document_id string, text string")
+    gaz = aliases_df(spark, 20, seed=42)
+    plan = _plan(detect_mentions(docs, gaz))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aggregation_uses_whole_stage_codegen_and_partial_agg(spark, tmp_path):
+    p = str(tmp_path / "agg")
+    spark.range(1000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v")).write.parquet(p)
+    df = spark.read.parquet(p).groupBy("k").agg(F.sum("v").alias("s"))
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df)
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan
+    # whole-stage codegen visible on the finalized formatted plan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    # '*' prefix / 'codegen id' mark whole-stage-codegen'd operators
+    assert "codegen id" in buf.getvalue() or "WholeStageCodegen" in buf.getvalue(), buf.getvalue()

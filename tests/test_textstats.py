@@ -1,0 +1,91 @@
+"""Text analysis: language-ID heuristic, quality features, token counts,
+fingerprints, metrics module."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_el_spark.metrics import labeled_same_block_pairs, pairwise_f1, ranking_metrics
+from e2e_el_spark.operators.textstats import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    token_counts,
+)
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat est une merveille que tout"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_features_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again ok"),
+         (2, "!!! ??? ... 12345 67890 @@@@")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality_features(df).collect()}
+    assert got[1].quality_score > got[2].quality_score
+    assert 0.0 <= got[2].quality_score <= 1.0
+    assert got[1].stopword_ratio > 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times")], "doc_id long, text string")
+    r = token_counts(df).collect()[0]
+    assert r.ws_tokens == 4
+    assert r.bpe_ish_tokens == 5  # hello / world / , / 42 / times
+    assert not r.over_512
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in fingerprint(df, "doc_id").collect()}
+    assert got[1].fp_exact != got[2].fp_exact
+    assert got[1].fp_normalized == got[2].fp_normalized
+    assert got[3].fp_normalized != got[1].fp_normalized
+
+
+def test_pairwise_f1_counts(spark):
+    blocked = spark.createDataFrame(
+        [("m1", "E1", "b"), ("m2", "E1", "b"), ("m3", "E2", "b")],
+        "mention_id string, label_candidate_id string, block_key string",
+    )
+    labeled = labeled_same_block_pairs(blocked)
+    assert labeled.count() == 3
+    clusters = spark.createDataFrame(
+        [("m1", "c1"), ("m2", "c1"), ("m3", "c1")],  # over-merged: m3 wrong
+        "mention_id string, cluster_id string",
+    )
+    m = pairwise_f1(labeled, clusters)
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 2, 0)
+    assert m["precision"] == pytest.approx(1 / 3)
+    assert m["recall"] == 1.0
+
+
+def test_ranking_metrics(spark):
+    scored = spark.createDataFrame(
+        [
+            ("m1", "E1", 0.9, "E1"), ("m1", "E2", 0.5, "E1"),   # gold rank 1
+            ("m2", "E1", 0.9, "E2"), ("m2", "E2", 0.5, "E2"),   # gold rank 2
+            ("m3", "E1", 0.9, "E9"), ("m3", "E2", 0.5, "E9"),   # gold absent
+        ],
+        "mention_id string, entity_id string, score double, label_candidate_id string",
+    )
+    r = ranking_metrics(scored, k=10).collect()[0]
+    assert r.p_at_1 == pytest.approx(1 / 3)
+    assert r["map"] == pytest.approx((1.0 + 0.5 + 0.0) / 3)
+    assert r.recall_at_10 == pytest.approx(2 / 3)
+    assert r.n_mentions == 3
