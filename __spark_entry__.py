@@ -534,6 +534,86 @@ def q34_el_clusters(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q35_bm25_topk(spark, sf_dir):
+    """C2 BM25 retrieval: documents queried by their own 40-char prefixes
+    (Robertson k1=1.2 b=0.75, Lucene non-negative idf)."""
+    from e2e_el_spark.operators.candidates import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    q = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.substring("text", 1, 40).alias("qtext")
+    )
+    out = bm25_scores(q, "query_id", "qtext", d, "doc_id", "text", k=5)
+    return out.select("query_id", "doc_id", F.round("bm25", 6).alias("bm25"), "rank")
+
+
+def q36_span_prf(spark, sf_dir):
+    """A7/A9 span-overlap precision/recall counters over derived spans
+    (pred = linenumber-1 windows, gold = linenumber-2 windows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("document_id"),
+        F.col("l_quantity").alias("ps"), (F.col("l_quantity") + 10).alias("pe"),
+    ).dropDuplicates()
+    gold = li.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("document_id"),
+        F.col("l_quantity").alias("gs"), (F.col("l_quantity") + 10).alias("ge"),
+    ).dropDuplicates()
+    overlap = (F.col("gs") <= F.col("pe")) & (F.col("ps") <= F.col("ge"))
+    tp_p = pred.join(gold, "document_id").filter(overlap).select("document_id", "ps", "pe").dropDuplicates()
+    tp_g = gold.join(pred, "document_id").filter(overlap).select("document_id", "gs", "ge").dropDuplicates()
+    return (
+        pred.agg(F.count("*").alias("n_pred")).crossJoin(gold.agg(F.count("*").alias("n_gold")))
+        .crossJoin(tp_p.agg(F.count("*").alias("tp_pred")))
+        .crossJoin(tp_g.agg(F.count("*").alias("tp_gold")))
+        .select(
+            "n_pred", "n_gold", "tp_pred", "tp_gold",
+            F.round(F.col("tp_pred") / F.col("n_pred"), 6).alias("precision"),
+            F.round(F.col("tp_gold") / F.col("n_gold"), 6).alias("recall"),
+        )
+    )
+
+
+def q37_random_negatives(spark, sf_dir):
+    """C3/J6 seeded negative sampling (xxhash64 ranking — rows-only):
+    3 negatives per order from the 25-nation 'KB' minus the order's own
+    nation-of-customer."""
+    from e2e_el_spark.operators.candidates import random_negatives
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    c = _t(spark, sf_dir, "customer")
+    pos = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").cast("string").alias("mention_id"),
+        F.col("c_nationkey").cast("string").alias("label_candidate_id"),
+    )
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("string").alias("entity_id"))
+    return random_negatives(pos, n, k=3, seed=42)
+
+
+def q38_gold_rank_histogram(spark, sf_dir):
+    """A8 position-of-positive histogram over the label-kNN ranking of q24."""
+    from e2e_el_spark.functions import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), F.col("label").alias("qlabel")
+    )
+    c = e.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("_cv"), F.col("label").alias("clabel")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", cosine_expr("_qv", "_cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
+    gold = (
+        ranked.filter(F.col("clabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("gold_rank"))
+    )
+    return gold.groupBy("gold_rank").agg(F.count("*").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -570,6 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_lsh_ann": q32_lsh_ann,
         "q33_media_features": q33_media_features,
         "q34_el_clusters": q34_el_clusters,
+        "q35_bm25_topk": q35_bm25_topk,
+        "q36_span_prf": q36_span_prf,
+        "q37_random_negatives": q37_random_negatives,
+        "q38_gold_rank_histogram": q38_gold_rank_histogram,
     }
 
 
@@ -846,6 +930,61 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(lower(text), ' ')) AS total_tokens
             FROM documents
         """,
-        # q29-q34: iterative CC, hash-seeded MinHash/SimHash/LSH, pandas-UDF
-        # pipelines — genuinely non-SQL-expressible; rows-only checks.
+        "q35_bm25_topk": """
+            WITH d AS (SELECT doc_id, text FROM documents),
+            dt AS (SELECT doc_id AS _did, unnest(string_split(lower(text), ' ')) AS tok FROM d),
+            tf AS (SELECT _did, tok, count(*) AS tf FROM dt GROUP BY _did, tok),
+            dlen AS (SELECT _did, count(*) AS dlen FROM dt GROUP BY _did),
+            stats AS (SELECT count(*) AS n_docs FROM d),
+            avg_dl AS (SELECT avg(dlen) AS avgdl FROM dlen),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            idf AS (SELECT tok, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfreq),
+            q AS (SELECT doc_id AS _qid, substr(text, 1, 40) AS qtext FROM d WHERE doc_id < 5),
+            qt AS (SELECT DISTINCT _qid, unnest(string_split(lower(qtext), ' ')) AS tok FROM q),
+            scored AS (
+              SELECT _qid, _did,
+                     sum(idf * (tf * (1.2 + 1)) /
+                         (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / (SELECT avgdl FROM avg_dl)))) AS bm25
+              FROM qt JOIN tf USING (tok) JOIN idf USING (tok) JOIN dlen USING (_did)
+              GROUP BY _qid, _did),
+            ranked AS (
+              SELECT _qid AS query_id, _did AS doc_id, bm25,
+                     row_number() OVER (PARTITION BY _qid ORDER BY bm25 DESC, _did) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, round(bm25, 6) AS bm25, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q36_span_prf": """
+            WITH pred AS (SELECT DISTINCT l_orderkey AS document_id, l_quantity AS ps,
+                                 l_quantity + 10 AS pe FROM lineitem WHERE l_linenumber = 1),
+                 gold AS (SELECT DISTINCT l_orderkey AS document_id, l_quantity AS gs,
+                                 l_quantity + 10 AS ge FROM lineitem WHERE l_linenumber = 2),
+            tpp AS (SELECT DISTINCT p.document_id, ps, pe FROM pred p JOIN gold g
+                    ON p.document_id = g.document_id AND gs <= pe AND ps <= ge),
+            tpg AS (SELECT DISTINCT g.document_id, gs, ge FROM gold g JOIN pred p
+                    ON p.document_id = g.document_id AND gs <= pe AND ps <= ge)
+            SELECT (SELECT count(*) FROM pred) AS n_pred,
+                   (SELECT count(*) FROM gold) AS n_gold,
+                   (SELECT count(*) FROM tpp) AS tp_pred,
+                   (SELECT count(*) FROM tpg) AS tp_gold,
+                   round((SELECT count(*) FROM tpp)::DOUBLE / (SELECT count(*) FROM pred), 6) AS precision,
+                   round((SELECT count(*) FROM tpg)::DOUBLE / (SELECT count(*) FROM gold), 6) AS recall
+        """,
+        "q38_gold_rank_histogram": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+                       FROM embeddings WHERE vec_id < 50),
+                 c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv, label AS clabel
+                       FROM embeddings WHERE vec_id >= 50),
+            ranked AS (
+              SELECT query_id, qlabel, clabel,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rank
+              FROM c CROSS JOIN q),
+            gold AS (SELECT query_id, min(rank) AS gold_rank FROM ranked
+                     WHERE clabel = qlabel AND rank <= 100 GROUP BY query_id)
+            SELECT gold_rank, count(*) AS n FROM gold GROUP BY gold_rank
+        """,
+        # q29-q34, q37: iterative CC, hash-seeded MinHash/SimHash/LSH/negative
+        # sampling, pandas-UDF pipelines — genuinely non-SQL-expressible;
+        # rows-only checks.
     }

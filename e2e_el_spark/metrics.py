@@ -103,3 +103,49 @@ def ranking_metrics(scored: DataFrame, k: int = 10) -> DataFrame:
         ).alias(f"recall_at_{k}"),
         F.count("*").alias("n_mentions"),
     )
+
+
+def span_overlap_prf(pred: DataFrame, gold: DataFrame) -> dict:
+    """Span-overlap precision/recall/F1 (A7/A9 + J8,
+    `/root/reference/run_E2E_exhaustive.py:449-518`): a predicted span is a
+    TP if it overlaps some gold span of the same document
+    (g_s <= p_e and p_s <= g_e — the reference's clipped-overlap rule);
+    unmatched gold = FN, extraneous pred = FP. Both inputs:
+    (document_id, start_index, end_index).
+    """
+    p = pred.select(
+        F.col("document_id"), F.col("start_index").alias("ps"), F.col("end_index").alias("pe")
+    ).dropDuplicates()
+    g = gold.select(
+        F.col("document_id"), F.col("start_index").alias("gs"), F.col("end_index").alias("ge")
+    ).dropDuplicates()
+    overlap = (F.col("gs") <= F.col("pe")) & (F.col("ps") <= F.col("ge"))
+    matched_pred = p.join(g, ["document_id"]).filter(overlap).select(
+        "document_id", "ps", "pe"
+    ).dropDuplicates()
+    matched_gold = g.join(p, ["document_id"]).filter(overlap).select(
+        "document_id", "gs", "ge"
+    ).dropDuplicates()
+    n_pred, n_gold = p.count(), g.count()
+    tp_p, tp_g = matched_pred.count(), matched_gold.count()
+    precision = tp_p / n_pred if n_pred else 1.0
+    recall = tp_g / n_gold if n_gold else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "n_pred": n_pred, "n_gold": n_gold, "fp": n_pred - tp_p, "fn": n_gold - tp_g,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
+def gold_rank_histogram(scored: DataFrame) -> DataFrame:
+    """A8 position-of-positive histogram
+    (`/root/reference/utils_E2E_exhaustive.py:432-439,605-606`): at which
+    rank does the gold candidate appear. scored:
+    (mention_id, entity_id, score, label_candidate_id)."""
+    w = Window.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("entity_id") == F.col("label_candidate_id"))
+        .groupBy("rank")
+        .agg(F.count("*").alias("n"))
+    )

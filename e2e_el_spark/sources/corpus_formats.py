@@ -166,3 +166,108 @@ def normalize_entity_ids(df: DataFrame, id_col: str = "entity_id") -> DataFrame:
     first = F.split(F.col(id_col), r"[+|]").getItem(0)
     stripped = F.regexp_replace(first, r"^(UMLS:|MESH:|OMIM:)", "")
     return df.withColumn(id_col, stripped)
+
+
+def parse_aida(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """AIDA-YAGO2 TSV → (documents, mentions) (S7,
+    `/root/reference/collectiveEL_data_formatter_AIDA.py:22-82`).
+
+    Reference semantics replicated: ``-DOCSTART- (id)`` opens a document;
+    each blank line closes a *sentence segment* which becomes its own
+    document ``{doc}_{k}`` — but ONLY if it contains at least one linked
+    mention, and the segment counter k advances only over emitted segments.
+    ``--NME--`` (unlinkable) rows are plain words. Mention spans are B/I
+    assembled; char offsets are positions in the space-joined word text.
+    Columns: word, B/I, mention_text, entity_name, _, gold_id.
+    """
+    w_all = Window.orderBy("line_no")
+    marked = (
+        lines.withColumn("is_doc", F.col("value").startswith("-DOCSTART-"))
+        .withColumn("is_blank", F.trim(F.col("value")) == "")
+        .withColumn(
+            "doc_id",
+            F.last(
+                F.when(F.col("is_doc"), F.regexp_extract("value", r"\((\d+[^)]*)\)", 1)),
+                ignorenulls=True,
+            ).over(w_all.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "sent_no",
+            F.sum(F.when(F.col("is_blank") | F.col("is_doc"), 1).otherwise(0)).over(w_all),
+        )
+    )
+    toks = marked.filter(~F.col("is_doc") & ~F.col("is_blank")).select(
+        "line_no", "doc_id", "sent_no", F.split("value", "\t").alias("c")
+    )
+    toks = toks.select(
+        "line_no", "doc_id", "sent_no",
+        F.get("c", 0).alias("word"),
+        F.when(
+            (F.size("c") >= 2) & (F.element_at("c", -1) != "--NME--"), F.get("c", 1)
+        ).alias("bio"),
+        F.get("c", 2).alias("mention_text"),
+        F.get("c", 3).alias("entity_name"),
+        F.get("c", 5).alias("gold_id"),
+    )
+    ws = Window.partitionBy("doc_id", "sent_no").orderBy("line_no")
+    toks = toks.withColumn(
+        "start",
+        F.coalesce(
+            F.sum(F.length("word") + 1).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("int"),
+    ).withColumn("end", (F.col("start") + F.length("word")).cast("int"))
+    # consecutive B/I grouping within a sentence
+    toks = toks.withColumn(
+        "m_grp",
+        F.sum(F.when(F.col("bio") == "B", 1).otherwise(0)).over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ment_toks = toks.filter(F.col("bio").isin("B", "I") & (F.col("m_grp") > 0))
+    raw_mentions = ment_toks.groupBy("doc_id", "sent_no", "m_grp").agg(
+        F.min("start").alias("start_index"),
+        F.max("end").alias("end_index"),
+        F.first("mention_text").alias("text"),
+        F.first("entity_name").alias("entity_name"),
+        F.first("gold_id").alias("label_candidate_id"),
+    )
+    # segments with ≥1 mention, numbered in emission order per document
+    seg_w = Window.partitionBy("doc_id").orderBy("sent_no")
+    segs = (
+        raw_mentions.select("doc_id", "sent_no").distinct()
+        .withColumn("segment_id", F.row_number().over(seg_w) - 1)
+    )
+    # word order restored via array_sort over (line_no, word) structs —
+    # collect_list alone gives no ordering guarantee
+    documents = (
+        toks.join(segs, ["doc_id", "sent_no"])
+        .groupBy("doc_id", "sent_no", "segment_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(
+            F.concat_ws("_", "doc_id", "segment_id").alias("document_id"), "text",
+            "doc_id", "sent_no",
+        )
+    )
+    mw = Window.partitionBy("doc_id", "sent_no").orderBy("start_index")
+    mentions = (
+        raw_mentions.join(segs, ["doc_id", "sent_no"])
+        .withColumn("_k", F.row_number().over(mw) - 1)
+        .select(
+            F.concat_ws("_", "doc_id", "segment_id", "_k").alias("mention_id"),
+            F.concat_ws("_", "doc_id", "segment_id").alias("document_id"),
+            "start_index", "end_index", "text",
+            F.lit("N/A").alias("type"),
+            "label_candidate_id",
+            "entity_name",
+        )
+    )
+    return documents.select("document_id", "text"), mentions
