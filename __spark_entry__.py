@@ -240,12 +240,11 @@ def q14_sessionize_events(spark, sf_dir):
     """Sessionization: lag-gap cumsum (stateful-op analogue, batch form)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; session TZ is UTC so timestamp-cast == duckdb epoch()
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(epoch).over(w)
+    # interval arithmetic on TIMESTAMP_NTZ — independent of session timezone
+    prev = F.lag("ts").over(w)
     gap = (
         F.when(prev.isNull(), 1)
-        .when(epoch - prev > 1800, 1)
+        .when(F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES"), 1)
         .otherwise(0)
     )
     sess = e.withColumn("new_sess", gap)
@@ -741,7 +740,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_sessionize_events": """
             WITH g AS (SELECT user_id,
-                              CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
                                    WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
                        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
