@@ -66,6 +66,33 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
+def measure_machine_ceiling() -> dict:
+    """Raw CPU-only multiprocessing scaling of this VM (no Spark, no shared
+    state) — the upper bound any job-level scaling claim can reach. Justifies
+    the N=2 vs 4N=8 level choice when 8→32 is hardware-capped."""
+    import hashlib
+    import multiprocessing as mp
+
+    def work(n: int) -> int:
+        h = 0
+        for i in range(n):
+            h ^= hashlib.blake2b(f"g{i % 97}".encode(), digest_size=8).digest()[0]
+        return h
+
+    def bench_procs(procs: int, per: int = 800_000) -> float:
+        t = time.time()
+        with mp.Pool(procs) as p:
+            p.map(work, [per] * procs)
+        return time.time() - t
+
+    t2, t8, t32 = bench_procs(2), bench_procs(8), bench_procs(32)
+    return {
+        "wall_2p_s": round(t2, 2), "wall_8p_s": round(t8, 2), "wall_32p_s": round(t32, 2),
+        "cpu_efficiency_2_to_8": round(t2 / t8, 3),
+        "cpu_efficiency_8_to_32": round(t8 / t32, 3),
+    }
+
+
 def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int) -> dict:
     results = {}
     for cpus in levels:
@@ -134,6 +161,7 @@ def main() -> None:
         ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
         trials = int(os.environ.get("EL_BENCH_TRIALS", "1"))
         scaling = run_scaling(levels, pages, mult, ents, trials)
+        scaling["machine_ceiling"] = measure_machine_ceiling()
 
     write_bench_md(queries, scaling, sf_dir)
     total = round(sum(queries.values()), 2)

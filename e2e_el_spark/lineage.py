@@ -59,6 +59,11 @@ class StageRunner:
         t0 = time.monotonic()
         df = fn()
         df.write.mode("overwrite").parquet(data_path)
+        # stage-internal caches (vocab/vectors in candidate_pairs, …) served
+        # their purpose once the stage table is on disk — drop them so a
+        # long-lived session (the driver runs dozens of queries in one) does
+        # not accumulate executor-memory blocks
+        self.spark.catalog.clearCache()
         wall_ms = int((time.monotonic() - t0) * 1000)
         out = self.spark.read.parquet(data_path)
         self._record_lineage(stage, out, wall_ms)

@@ -65,6 +65,10 @@ class PipelineConfig:
     # by entity_id — deterministic); the cap is the mention-entity analogue
     # of same_block_pairs' max_block_size
     max_entities_per_block: int = 20
+    # restrict to these page languages (None = all). On a partitioned
+    # Iceberg/parquet pages table this predicate prunes partitions at the
+    # scan (SURVEY.md §4 "rewrites Catalyst gives us for free")
+    langs: tuple[str, ...] | None = None
     weights: dict = field(
         default_factory=lambda: {"jw": 0.35, "tfidf_cos": 0.3, "emb_dot": 0.35}
     )
@@ -269,6 +273,8 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     runner = StageRunner(spark, workdir)
 
+    if cfg.langs is not None:
+        pages = pages.filter(F.col("lang").isin(*cfg.langs))
     documents = runner.run("01_extract", lambda: extract_documents(pages))
     mentions = runner.run(
         "02_mentions", lambda: detect_mentions(documents, gazetteer, cfg.max_mention_tokens)
