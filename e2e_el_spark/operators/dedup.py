@@ -68,12 +68,21 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_width)
+    # one shingle table feeds the signatures AND both sides of the Jaccard
+    # verify join — cache it instead of recomputing the explode three times
+    sh = shingles(df, id_col, text_col, shingle_width).cache()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("_id").agg(*mins).select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
     keys = lsh_band_keys(sigs, id_col, bands, rows)
     cand = same_block_pairs(keys, id_col, max_block_size=max_block_size).select(
         "id_a", "id_b"
     )
-    sh = shingles(df, id_col, text_col, shingle_width)
     sh_count = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), "shingle")
