@@ -66,23 +66,27 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
+def _cpu_work(n: int) -> int:
+    """Pure-CPU unit for the machine-ceiling probe (module-level so
+    multiprocessing can pickle it)."""
+    import hashlib
+
+    h = 0
+    for i in range(n):
+        h ^= hashlib.blake2b(f"g{i % 97}".encode(), digest_size=8).digest()[0]
+    return h
+
+
 def measure_machine_ceiling() -> dict:
     """Raw CPU-only multiprocessing scaling of this VM (no Spark, no shared
     state) — the upper bound any job-level scaling claim can reach. Justifies
     the N=2 vs 4N=8 level choice when 8→32 is hardware-capped."""
-    import hashlib
     import multiprocessing as mp
-
-    def work(n: int) -> int:
-        h = 0
-        for i in range(n):
-            h ^= hashlib.blake2b(f"g{i % 97}".encode(), digest_size=8).digest()[0]
-        return h
 
     def bench_procs(procs: int, per: int = 800_000) -> float:
         t = time.time()
         with mp.Pool(procs) as p:
-            p.map(work, [per] * procs)
+            p.map(_cpu_work, [per] * procs)
         return time.time() - t
 
     t2, t8, t32 = bench_procs(2), bench_procs(8), bench_procs(32)
@@ -93,21 +97,48 @@ def measure_machine_ceiling() -> dict:
     }
 
 
+def _one_scaling_run(cpus: int, pages: int, mult: int, ents: int) -> dict:
+    cmd = [sys.executable, "-m", "e2e_el_spark.bench_worker",
+           str(cpus), str(pages), str(mult), str(ents), "1"]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    m = re.search(r"RESULT (\{.*\})", proc.stdout)
+    if not m:
+        return {"error": proc.stderr[-500:]}
+    return json.loads(m.group(1))
+
+
 def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int) -> dict:
-    results = {}
+    """Interleave parallelism levels ABBA-style across trials — this VM's
+    throughput drifts ±40% over minutes, so back-to-back same-level trials
+    would bake the drift into the ratio. Per-level wall = median of trials."""
+    import statistics
+
+    order: list[int] = []
+    for t in range(trials):
+        order.extend(levels if t % 2 == 0 else list(reversed(levels)))
+    walls: dict[int, list[float]] = {c: [] for c in levels}
+    last: dict[int, dict] = {}
+    for cpus in order:
+        r = _one_scaling_run(cpus, pages, mult, ents)
+        if "best_wall_s" in r:
+            walls[cpus].append(r["best_wall_s"])
+            last[cpus] = r
+    results: dict = {}
     for cpus in levels:
-        cmd = [sys.executable, "-m", "e2e_el_spark.bench_worker",
-               str(cpus), str(pages), str(mult), str(ents), str(trials)]
-        env = dict(os.environ, PYTHONPATH=REPO)
-        proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
-        m = re.search(r"RESULT (\{.*\})", proc.stdout)
-        if not m:
-            results[f"n{cpus}"] = {"error": proc.stderr[-500:]}
+        if not walls[cpus]:
+            results[f"n{cpus}"] = {"error": "no successful runs"}
             continue
-        results[f"n{cpus}"] = json.loads(m.group(1))
+        med = statistics.median(walls[cpus])
+        results[f"n{cpus}"] = {
+            **{k: v for k, v in last[cpus].items() if k not in ("walls_s", "best_wall_s")},
+            "walls_s": walls[cpus],
+            "median_wall_s": round(med, 2),
+            "pages_per_sec": round(pages / med, 1),
+        }
     lo, hi = f"n{levels[0]}", f"n{levels[-1]}"
-    if "best_wall_s" in results.get(lo, {}) and "best_wall_s" in results.get(hi, {}):
-        ratio = results[lo]["best_wall_s"] / results[hi]["best_wall_s"]
+    if "median_wall_s" in results.get(lo, {}) and "median_wall_s" in results.get(hi, {}):
+        ratio = results[lo]["median_wall_s"] / results[hi]["median_wall_s"]
         factor = levels[-1] / levels[0]
         results["throughput_ratio"] = round(ratio, 3)
         results["scaling_efficiency"] = round(ratio / factor, 3)
@@ -138,9 +169,15 @@ def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
         "",
         "Level choice: this sandbox VM itself stops scaling past ~8-16",
         "processes — raw CPU-only multiprocessing (blake2b hashing, zero",
-        "shared state) measures 0.95 efficiency from 2→8 procs but only",
-        "0.59 from 8→32, so local[8] vs local[32] cannot evidence job",
-        "scaling on this host. N=2 vs 4N=8 cores is the honest pair.",
+        "shared state) measures ≈0.95 efficiency from 2→8 procs but only",
+        "≈0.59 from 8→32 (see machine_ceiling above, re-measured per run),",
+        "so local[8] vs local[32] cannot evidence job scaling on this host.",
+        "N=2 vs 4N=8 cores is the honest pair.",
+        "",
+        "Measurement noise: this shared VM's throughput drifts ±40% over",
+        "minutes (identical configs measured 216s and 306s an hour apart).",
+        "Trials are ABBA-interleaved across levels and medians reported;",
+        "raise EL_BENCH_TRIALS for tighter intervals.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -25,11 +25,9 @@ from e2e_el_spark.extract import extract_documents
 from e2e_el_spark.lineage import StageRunner
 from e2e_el_spark.metrics import labeled_same_block_pairs, pairwise_f1
 from e2e_el_spark.operators.blocking import (
-    cosine_topk,
     build_tfidf_vocab,
     lsh_band_keys,
     minhash_signatures,
-    sparse_pair_scores,
     tfidf_vectors,
     token_prefix_key,
 )
