@@ -104,10 +104,11 @@ def candidate_pairs(
     At web scale this collapses ~10^12 mentions to ~10^8 surfaces before the
     expensive pair work.
 
-    Candidates = (token-prefix blocks ∪ LSH-band blocks ∪ TF-IDF top-k),
-    each with its exact TF-IDF cosine attached (0 when no vocabulary gram is
-    shared). The entity side of every block join is broadcast — the KB is
-    the small dimension (SURVEY.md §1.3).
+    Candidates = (token-prefix blocks ∪ LSH-band blocks ∪ rare-gram inverted
+    index with prefix filtering), then every candidate gets its EXACT TF-IDF
+    cosine via a bounded rescore join, and the per-surface top-2k survive.
+    The entity side of every block join is broadcast — the KB is the small
+    dimension (SURVEY.md §1.3).
     """
     surfaces = mentions.select(F.col("text").alias("surface")).distinct().cache()
     corpus = entities.select(F.col("entity_id").alias("cid"), F.col("name").alias("ctext")).unionByName(
