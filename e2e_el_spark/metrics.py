@@ -149,3 +149,41 @@ def gold_rank_histogram(scored: DataFrame) -> DataFrame:
         .groupBy("rank")
         .agg(F.count("*").alias("n"))
     )
+
+
+def pairwise_f1_from_counts(blocked_clusters: DataFrame) -> dict:
+    """Exact pairwise F1 over same-blocking-key pairs WITHOUT materializing
+    the O(Σ block²) pair table — the form that survives web scale.
+
+    Input: (mention_id, block_key, label_candidate_id, cluster_id), one row
+    per mention per block key. Using n-choose-2 over group sizes:
+
+      predicted_pos = Σ_{block,cluster}       C(n, 2)
+      actual_pos    = Σ_{block,label}         C(n, 2)
+      tp            = Σ_{block,cluster,label} C(n, 2)
+
+    which equal the pair-table counts exactly (verified against
+    :func:`labeled_same_block_pairs` + :func:`pairwise_f1` in tests).
+    """
+
+    def _pairs(df: DataFrame, *keys: str) -> int:
+        row = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
+            .collect()[0]
+        )
+        return int(row["p"] or 0)
+
+    d = blocked_clusters
+    pp = _pairs(d, "block_key", "cluster_id")
+    ap = _pairs(d, "block_key", "label_candidate_id")
+    tp = _pairs(d, "block_key", "cluster_id", "label_candidate_id")
+    fp, fn = pp - tp, ap - tp
+    precision = tp / pp if pp else 1.0
+    recall = tp / ap if ap else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": precision, "recall": recall, "f1": f1,
+    }

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from e2e_el_spark.extract import extract_documents
 from e2e_el_spark.lineage import StageRunner
-from e2e_el_spark.metrics import labeled_same_block_pairs, pairwise_f1
+from e2e_el_spark.metrics import pairwise_f1_from_counts
 from e2e_el_spark.operators.blocking import (
     build_tfidf_vocab,
     lsh_band_keys,
@@ -308,18 +308,22 @@ def evaluate_pipeline(
     blocked = gold_mentions.select(
         "mention_id",
         "label_candidate_id",
+        "document_id", "start_index", "end_index",
         token_prefix_key("text", cfg.prefix_len).alias("block_key"),
     )
-    labeled = labeled_same_block_pairs(blocked)
     # gold mention ids differ from detected mention ids; re-key detected
     # clusters by (document_id, start, end) → join to gold mention ids
     keyed = clusters.select(
         F.col("document_id"), F.col("start_index"), F.col("end_index"), F.col("cluster_id")
     )
-    gold_keyed = gold_mentions.select(
-        "mention_id", "document_id", "start_index", "end_index"
-    )
-    remapped = gold_keyed.join(
+    remapped = blocked.join(
         keyed, ["document_id", "start_index", "end_index"], "left"
-    ).select("mention_id", F.coalesce("cluster_id", F.concat(F.lit("miss:"), "mention_id")).alias("cluster_id"))
-    return pairwise_f1(labeled, remapped)
+    ).select(
+        "mention_id", "block_key", "label_candidate_id",
+        F.coalesce(
+            "cluster_id", F.concat(F.lit("miss:"), "mention_id")
+        ).alias("cluster_id"),
+    )
+    # counts-based exact pairwise F1 — never materializes the pair table
+    # (Σ block² rows would be the bottleneck at web scale)
+    return pairwise_f1_from_counts(remapped)

@@ -89,3 +89,29 @@ def test_ranking_metrics(spark):
     assert r["map"] == pytest.approx((1.0 + 0.5 + 0.0) / 3)
     assert r.recall_at_10 == pytest.approx(2 / 3)
     assert r.n_mentions == 3
+
+
+def test_pairwise_f1_counts_equals_pair_table(spark):
+    """counts-based pairwise F1 must equal the materialized-pair version."""
+    import random
+
+    from e2e_el_spark.metrics import pairwise_f1_from_counts
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(120):
+        rows.append((
+            f"m{i}",
+            f"b{rng.randrange(5)}",
+            f"L{rng.randrange(6)}",
+            f"c{rng.randrange(7)}",
+        ))
+    df = spark.createDataFrame(
+        rows, "mention_id string, block_key string, label_candidate_id string, cluster_id string"
+    )
+    labeled = labeled_same_block_pairs(df)
+    clusters = df.select("mention_id", "cluster_id")
+    a = pairwise_f1(labeled, clusters)
+    b = pairwise_f1_from_counts(df)
+    assert (a["tp"], a["fp"], a["fn"]) == (b["tp"], b["fp"], b["fn"]), (a, b)
+    assert a["f1"] == pytest.approx(b["f1"])
