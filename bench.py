@@ -193,7 +193,7 @@ def main() -> None:
     scaling: dict = {}
     if os.environ.get("EL_SKIP_SCALING") != "1":
         levels = [int(x) for x in os.environ.get("EL_SCALING_LEVELS", "2,8").split(",")]
-        pages = int(os.environ.get("EL_BENCH_PAGES", "40000"))
+        pages = int(os.environ.get("EL_BENCH_PAGES", "30000"))
         mult = int(os.environ.get("EL_BENCH_MULT", "8"))
         ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
         trials = int(os.environ.get("EL_BENCH_TRIALS", "1"))
