@@ -248,8 +248,11 @@ def q14_sessionize_events(spark, sf_dir):
         .otherwise(0)
     )
     sess = e.withColumn("new_sess", gap)
+    # BIGINT cast both sides: DuckDB promotes integer sum() to HUGEINT, whose
+    # driver-hash canonicalization differs from Spark's LongType.
     return sess.groupBy("user_id").agg(
-        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
     )
 
 
@@ -318,7 +321,7 @@ def q20_token_budget_audit(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = TS.token_counts(d, "text")
     return t.groupBy("source").agg(
-        F.sum(F.when(F.col("over_512"), 1).otherwise(0)).alias("n_over_512"),
+        F.sum(F.when(F.col("over_512"), 1).otherwise(0)).cast("long").alias("n_over_512"),
         F.round(F.avg("ws_tokens"), 4).alias("avg_ws_tokens"),
         F.round(F.avg("bpe_ish_tokens"), 4).alias("avg_bpe_tokens"),
     )
@@ -410,7 +413,7 @@ def q26_doc_segmentation(spark, sf_dir):
     )
     return seg.groupBy("doc_id", "seg_id").agg(
         F.count("*").alias("n_tokens"),
-        F.sum(F.length("token")).alias("n_chars"),
+        F.sum(F.length("token")).cast("long").alias("n_chars"),
     )
 
 
@@ -743,7 +746,8 @@ def oracle_sql() -> dict[str, str]:
                               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
                                    WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
                        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "q15_block_key_counts": """
@@ -832,7 +836,7 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[a-zA-Z]{1,8}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS bpe_ish
               FROM documents)
             SELECT source,
-                   sum(CASE WHEN bpe_ish > 512 THEN 1 ELSE 0 END) AS n_over_512,
+                   CAST(sum(CASE WHEN bpe_ish > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_512,
                    round(avg(ws_tokens), 4) AS avg_ws_tokens,
                    round(avg(bpe_ish), 4) AS avg_bpe_tokens
             FROM t GROUP BY source
@@ -913,7 +917,7 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM toks)
             SELECT doc_id, CAST(floor((cum - 1) / 100) AS BIGINT) AS seg_id,
-                   count(*) AS n_tokens, sum(length(token)) AS n_chars
+                   count(*) AS n_tokens, CAST(sum(length(token)) AS BIGINT) AS n_chars
             FROM seg GROUP BY doc_id, seg_id
         """,
         "q27_entity_id_normalize": """
@@ -983,7 +987,25 @@ def oracle_sql() -> dict[str, str]:
                      WHERE clabel = qlabel AND rank <= 100 GROUP BY query_id)
             SELECT gold_rank, count(*) AS n FROM gold GROUP BY gold_rank
         """,
-        # q29-q34, q37: iterative CC, hash-seeded MinHash/SimHash/LSH/negative
-        # sampling, pandas-UDF pipelines — genuinely non-SQL-expressible;
-        # rows-only checks.
+        # connected components IS SQL-expressible at small scale: transitive
+        # closure by recursive label propagation, min reachable key = the
+        # cluster label (matches clustering.connected_components semantics,
+        # run_E2E_exhaustive.py:584-611 cluster-by-shared-entity).
+        "q29_connected_components": """
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT
+                     'O' || lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS a,
+                     'P' || lpad(CAST(l_partkey AS VARCHAR), 10, '0') AS b
+              FROM lineitem WHERE l_orderkey < 200),
+            sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+            walk(node_key, label) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.label FROM sym s JOIN walk w ON w.node_key = s.b)
+            SELECT node_key, min(label) AS cluster_id
+            FROM walk GROUP BY node_key
+        """,
+        # q30-q34, q37: hash-seeded MinHash/SimHash/LSH/negative sampling,
+        # pandas-UDF pipelines — genuinely non-SQL-expressible; rows-only
+        # checks.
     }

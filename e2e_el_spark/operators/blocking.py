@@ -111,10 +111,13 @@ def build_tfidf_vocab(
     totals = grams.groupBy("gram").agg(
         F.sum("tf").alias("total_tf"), F.countDistinct("_id").alias("df")
     )
-    w = Window.orderBy(F.desc("total_tf"), F.asc("gram"))
+    # Distributed top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heaps + a tiny driver merge). A row_number() window with
+    # no partitionBy would funnel the ENTIRE gram-totals table through one
+    # task — the job at 100× scale.
     vocab = (
-        totals.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= vocab_size)
+        totals.orderBy(F.desc("total_tf"), F.asc("gram"))
+        .limit(vocab_size)
         .select("gram", "df", (F.log(F.lit(float(n_docs)) / F.col("df"))).alias("idf"))
     )
     return vocab
@@ -286,22 +289,34 @@ def lsh_band_keys(
 
 def same_block_pairs(
     keyed: DataFrame, id_col: str, key_col: str = "block_key",
-    max_block_size: int = 200,
+    max_block_size: int = 200, observation=None,
 ) -> DataFrame:
     """Self-join within blocks → unordered candidate pairs (id_a < id_b).
 
     Blocks larger than ``max_block_size`` are capped with a deterministic
-    row_number cutoff and the drop is observable in the `_truncated` flag —
-    no silent cap (SURVEY.md §7.2 step 7).
+    row_number cutoff; the drop is OBSERVABLE, not silent: pass a
+    ``pyspark.sql.Observation`` and after the first action on the result
+    ``observation.get["truncated_rows"]`` reports how many (key, id) rows the
+    cap removed (collected piggyback on the job — no extra Spark job). With
+    observation=None the metric is still registered under the named observe
+    ``same_block_pairs_cap`` for listeners/UI (SURVEY.md §7.2 step 7).
     """
     w = Window.partitionBy(key_col).orderBy(id_col)
-    capped = (
+    flagged = (
         keyed.select(key_col, id_col)
         .distinct()
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_truncated", F.col("_rn") > max_block_size)
-        .filter(~F.col("_truncated"))
     )
+    metrics = [
+        F.sum(F.col("_truncated").cast("long")).alias("truncated_rows"),
+        F.count(F.lit(1)).alias("input_rows"),
+    ]
+    if observation is not None:
+        flagged = flagged.observe(observation, *metrics)
+    else:
+        flagged = flagged.observe("same_block_pairs_cap", *metrics)
+    capped = flagged.filter(~F.col("_truncated"))
     a = capped.select(F.col(key_col), F.col(id_col).alias("id_a"))
     b = capped.select(F.col(key_col), F.col(id_col).alias("id_b"))
     return (

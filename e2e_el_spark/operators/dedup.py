@@ -24,14 +24,31 @@ from e2e_el_spark.operators.blocking import (
 )
 
 
+def _text_group_key(text_col: str):
+    """Collision-safe text-equality key: (length, xxhash64, seeded xxhash64).
+
+    A single 64-bit hash equated with text equality silently merges distinct
+    documents at web scale (birthday bound ≈ 4·10⁹ docs). Two independent
+    64-bit hashes + the length give ~128 bits — collision probability is
+    negligible past 10¹⁵ docs — while the shuffle still moves only 20 bytes
+    per row, never the full text.
+    """
+    return [
+        F.length(F.col(text_col)).alias("_len"),
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.xxhash64(F.lit("dedup-seed-2"), F.col(text_col)).alias("_h2"),
+    ]
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts: (id, group_size, keeper, is_duplicate).
 
-    One shuffle on xxhash64(text) — never on the full text bytes.
+    One shuffle on (length, hash1, hash2) — never on the full text bytes.
     """
-    h = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
-    w = Window.partitionBy("_h")
-    wo = Window.partitionBy("_h").orderBy(id_col)
+    h = df.select(F.col(id_col), *_text_group_key(text_col))
+    keys = ["_len", "_h1", "_h2"]
+    w = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy(id_col)
     return (
         h.withColumn("group_size", F.count("*").over(w))
         .withColumn("keeper", F.first(id_col).over(wo))
@@ -47,7 +64,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the min-id row per identical text (deterministic first-wins,
     the distributed analogue of the reference's dict insert U3)."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(id_col)
+    w = Window.partitionBy(*_text_group_key(text_col)).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -169,13 +186,26 @@ def simhash_near_duplicates(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 3, threshold: float = 0.5, token_level: bool = True,
+    max_gram_df: int | None = None, observation=None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 n-gram.
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
 
     Token-level n-grams (word shingles) by default. The inverted-index join
-    (gram → doc list) makes this a sparse self-join, not a cartesian:
-    |pairs| is bounded by co-occurrence, and high-frequency grams can be
-    capped upstream. Returns (id_a, id_b, jaccard ≥ threshold).
+    (gram → doc list) makes this a sparse self-join, not a cartesian.
+
+    ``max_gram_df`` is the web-scale guard: a gram appearing in df docs emits
+    O(df²) candidate pairs in the self-join — one stopword 3-gram shared by
+    10⁶ docs is 5·10¹¹ pairs before any filter. With ``max_gram_df`` set,
+    only grams with document frequency ≤ the cap ENUMERATE candidate pairs
+    (an inverted-index rare-gram filter, same design as
+    pipeline.candidate_pairs); every enumerated pair is then rescored against
+    the FULL gram sets, so reported jaccard values stay exact — the cap can
+    only lose pairs whose every shared gram is hot. The drop is observable,
+    not silent: the named metric ``ngram_jaccard_df_cap`` reports
+    (dropped_gram_rows, input_gram_rows) on the consuming job. None (default)
+    enumerates from all grams (exact, small-corpus mode).
+
+    Returns (id_a, id_b, jaccard ≥ threshold).
     """
     if token_level:
         gram_expr = (
@@ -194,12 +224,40 @@ def ngram_jaccard_pairs(
     counts = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("_id").alias("id_a"), "gram")
     b = grams.select(F.col("_id").alias("id_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_gram_df is not None:
+        dfreq = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+        flagged = grams.join(dfreq, "gram")
+        metrics = [
+            F.sum((F.col("_df") > max_gram_df).cast("long")).alias("dropped_gram_rows"),
+            F.count(F.lit(1)).alias("input_gram_rows"),
+        ]
+        if observation is not None:
+            flagged = flagged.observe(observation, *metrics)
+        else:
+            flagged = flagged.observe("ngram_jaccard_df_cap", *metrics)
+        rare = flagged.filter(F.col("_df") <= max_gram_df)
+        cand = (
+            rare.select(F.col("_id").alias("id_a"), "gram")
+            .join(rare.select(F.col("_id").alias("id_b"), "gram"), "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # exact rescore: candidate pairs ⋈ FULL gram sets — jaccard is exact
+        # for every pair the rare-gram index surfaced
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(counts.withColumnRenamed("_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
         .join(counts.withColumnRenamed("_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")

@@ -105,7 +105,13 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit document fingerprints: full-text hash plus a
     content-normalized hash (lowercased, whitespace-collapsed) — the rolling
-    hash family for incremental dedup joins."""
+    hash family for incremental dedup joins.
+
+    Fingerprints are HASHES, not equality proofs: a 64-bit match has a
+    birthday-collision floor (~4·10⁹ docs). For dedup *decisions* use
+    dedup.exact_dedup/exact_duplicates, which group on (length, two
+    independent hashes); fingerprints are for joins, sketches, and change
+    detection where a collision is tolerable or re-verified downstream."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select(
         F.col(id_col),

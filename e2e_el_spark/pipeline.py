@@ -158,6 +158,13 @@ def candidate_pairs(
     eb = (
         entity_block_keys(entities, cfg)
         .withColumn("_rn", F.row_number().over(bw))
+        # surface the cap (not silent): truncated-row count rides along as an
+        # observed metric on the job that consumes this frame
+        .observe(
+            "entity_block_cap",
+            F.sum((F.col("_rn") > cfg.max_entities_per_block).cast("long")).alias("truncated_rows"),
+            F.count(F.lit(1)).alias("input_rows"),
+        )
         .filter(F.col("_rn") <= cfg.max_entities_per_block)
         .drop("_rn")
     )
@@ -212,7 +219,9 @@ def score_candidates(
     return (
         scored.groupBy("surface", "entity_id")
         .agg(
-            F.first("tfidf_cos").alias("tfidf_cos"),
+            # constant per group (pair-level signal); max states the
+            # invariant and stays correct if a future input breaks it
+            F.max("tfidf_cos").alias("tfidf_cos"),
             F.max("jw").alias("jw"),
             F.max("emb_dot").alias("emb_dot"),
         )

@@ -74,6 +74,76 @@ def test_ngram_jaccard(spark, docs):
     assert (4, 5) not in pairs
 
 
+def test_exact_dedup_group_key_is_collision_hardened(spark, docs):
+    """The text-equality group key must be (length, hash1, hash2) — a single
+    64-bit hash equated with equality silently merges distinct docs at web
+    scale. Structural check: two independent xxhash64 calls + length in the
+    plan, and same-length distinct texts stay separate."""
+    out = exact_dedup(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("xxhash64") >= 2, plan
+    assert "length(" in plan, plan
+    # behavioral: same length, different content → both kept
+    same_len = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbb")], "doc_id long, text string"
+    )
+    assert exact_dedup(same_len, "doc_id", "text").count() == 2
+    dups = {r.doc_id: r for r in exact_duplicates(same_len, "doc_id", "text").collect()}
+    assert dups[1].group_size == 1 and dups[2].group_size == 1
+
+
+def test_ngram_jaccard_df_cap_exact_rescore(spark):
+    """Hot-gram fixture: with max_gram_df set, the ubiquitous gram never
+    enumerates pairs (observed drop > 0) but every surfaced pair's jaccard is
+    EXACT (matches the uncapped run), and pairs linked only by rare grams
+    survive."""
+    from pyspark.sql import Observation
+
+    # 'common common common' is a hot gram in every doc; docs 1/2 also share
+    # rare content, docs 3/4 share ONLY the hot gram
+    rows = [
+        (1, "common common common alpha beta gamma delta"),
+        (2, "common common common alpha beta gamma epsilon"),
+        (3, "common common common zeta eta theta"),
+        (4, "common common common iota kappa lambda"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.05
+    ).collect()}
+    obs = Observation()
+    capped_df = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.05, max_gram_df=2, observation=obs
+    )
+    capped = {(r.id_a, r.id_b): r.jaccard for r in capped_df.collect()}
+    assert obs.get["dropped_gram_rows"] > 0  # the hot gram was capped out
+    # (1,2) share rare grams → surfaced, with the EXACT uncapped jaccard
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == pytest.approx(exact[(1, 2)])
+    # every surfaced pair is exact; only hot-gram-only pairs may be missing
+    for pair, j in capped.items():
+        assert j == pytest.approx(exact[pair])
+    missing = set(exact) - set(capped)
+    assert all(p in {(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} for p in missing)
+
+
+def test_same_block_pairs_cap_is_observable(spark):
+    from pyspark.sql import Observation
+
+    from e2e_el_spark.operators.blocking import same_block_pairs
+
+    keyed = spark.createDataFrame(
+        [(i, "hot") for i in range(10)] + [(100, "cold"), (101, "cold")],
+        "doc_id long, block_key string",
+    )
+    obs = Observation()
+    pairs = same_block_pairs(keyed, "doc_id", max_block_size=3, observation=obs)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert obs.get["truncated_rows"] == 7  # 10 in the hot block, 3 kept
+    assert (100, 101) in got
+    assert got == {(0, 1), (0, 2), (1, 2), (100, 101)}
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -48,6 +48,23 @@ def test_gazetteer_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_vocab_topk_is_distributed(spark):
+    """build_tfidf_vocab's top-k must compile to TakeOrderedAndProject
+    (per-partition heaps), NOT a single-partition row_number window — an
+    unpartitioned window funnels the whole gram table through one task."""
+    from e2e_el_spark.operators.blocking import build_tfidf_vocab
+
+    corpus = spark.createDataFrame(
+        [(str(i), f"alpha beta gamma {i}") for i in range(50)], "cid string, ctext string"
+    )
+    vocab = build_tfidf_vocab(corpus, "cid", "ctext", n_max=2, vocab_size=10, n_docs=50)
+    plan = _plan(vocab)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # no single-partition shuffle of the totals table
+    assert "SinglePartition" not in plan, plan
+
+
 def test_aggregation_uses_whole_stage_codegen_and_partial_agg(spark, tmp_path):
     p = str(tmp_path / "agg")
     spark.range(1000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v")).write.parquet(p)
