@@ -616,6 +616,56 @@ def q38_gold_rank_histogram(spark, sf_dir):
     return gold.groupBy("gold_rank").agg(F.count("*").alias("n"))
 
 
+def q39_greedy_segmentation(spark, sf_dir):
+    """W1 generic segmentation (CollectiveEL_data_formatter.py:83-186):
+    greedy '. '-sentence packing into 150-char-budget segments via the
+    zero-shuffle mapInPandas operator; sentence breaks synthesized
+    deterministically (replace ' table' → '. table') since the synthetic
+    docs have none. Oracle = DuckDB recursive CTE replaying the same greedy
+    scan."""
+    from e2e_el_spark.operators.segmentation import segment_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.expr("replace(text, ' table', '. table')").alias("text"),
+    )
+    segs = segment_documents(d, budget=150, separators=(". ",))
+    return segs.select(
+        F.col("document_id").alias("doc_id"), "seg_index", "seg_start", "seg_end"
+    )
+
+
+def q40_rerank_cross(spark, sf_dir):
+    """L3 cross-encoder rerank (modeling_FullTransformer.py:62-101): BM25
+    retrieval top-10 per query, then pairwise rerank of (query window,
+    candidate text) with the deterministic stand-in scorer in mapInPandas
+    iterator form (model-per-partition slot) — blake2b-hashed embeddings →
+    rows-only check."""
+    from e2e_el_spark.operators.candidates import bm25_scores
+    from e2e_el_spark.operators.scoring import rerank_cross
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    q = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.substring("text", 1, 40).alias("qtext")
+    )
+    retrieved = bm25_scores(q, "query_id", "qtext", d, "doc_id", "text", k=10)
+    pairs = (
+        retrieved.select("query_id", "doc_id")
+        .join(q, "query_id")
+        .join(d.withColumnRenamed("text", "cand_text"), "doc_id")
+        .select("query_id", "doc_id", "qtext", "cand_text")
+    )
+    rr = rerank_cross(
+        pairs, id_col="query_id", cand_col="doc_id",
+        text_a="qtext", text_b="cand_text", k=5,
+    )
+    return rr.select(
+        "query_id", "doc_id", F.round("cross_score", 6).alias("cross_score"), "cross_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -656,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_span_prf": q36_span_prf,
         "q37_random_negatives": q37_random_negatives,
         "q38_gold_rank_histogram": q38_gold_rank_histogram,
+        "q39_greedy_segmentation": q39_greedy_segmentation,
+        "q40_rerank_cross": q40_rerank_cross,
     }
 
 
@@ -1005,7 +1057,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_key, min(label) AS cluster_id
             FROM walk GROUP BY node_key
         """,
-        # q30-q34, q37: hash-seeded MinHash/SimHash/LSH/negative sampling,
-        # pandas-UDF pipelines — genuinely non-SQL-expressible; rows-only
-        # checks.
+        # greedy packing is a linear recurrence per document — a recursive
+        # CTE replays the exact scan: new segment iff cur + slen > budget
+        "q39_greedy_segmentation": """
+            WITH RECURSIVE t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(replace(text, ' table', '. table'), '. ') AS ps
+              FROM documents),
+            parts AS (
+              SELECT doc_id, i.i AS idx,
+                     length(list_extract(ps, i.i))
+                       + CASE WHEN i.i < len(ps) THEN 2 ELSE 0 END AS slen
+              FROM t, UNNEST(range(1, len(ps) + 1)) AS i(i)),
+            walk AS (
+              SELECT doc_id, idx, slen, 1 AS seg, slen AS cur
+              FROM parts WHERE idx = 1
+              UNION ALL
+              SELECT p.doc_id, p.idx, p.slen,
+                     CASE WHEN w.cur + p.slen > 150 THEN w.seg + 1 ELSE w.seg END,
+                     CASE WHEN w.cur + p.slen > 150 THEN p.slen ELSE w.cur + p.slen END
+              FROM walk w JOIN parts p ON p.doc_id = w.doc_id AND p.idx = w.idx + 1),
+            seglen AS (
+              SELECT doc_id, seg AS seg_index, sum(slen) AS seg_len
+              FROM walk GROUP BY doc_id, seg)
+            SELECT doc_id, CAST(seg_index AS INT) AS seg_index,
+                   CAST(sum(seg_len) OVER (PARTITION BY doc_id ORDER BY seg_index
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - seg_len AS BIGINT) AS seg_start,
+                   CAST(sum(seg_len) OVER (PARTITION BY doc_id ORDER BY seg_index
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_end
+            FROM seglen
+        """,
+        # q30-q34, q37, q40: hash-seeded MinHash/SimHash/LSH/negative
+        # sampling, pandas-UDF pipelines (incl. the cross-encoder rerank
+        # stand-in) — genuinely non-SQL-expressible; rows-only checks.
     }

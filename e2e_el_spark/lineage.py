@@ -31,11 +31,19 @@ MARKER = "_STAGE_COMPLETE"
 
 
 class StageRunner:
-    """Runs named stages with checkpoint / resume / lineage."""
+    """Runs named stages with checkpoint / resume / lineage.
 
-    def __init__(self, spark: SparkSession, workdir: str):
+    ``fingerprint`` guards resume against stale checkpoints: it is stored in
+    each stage's ``_STAGE_COMPLETE`` marker, and a rerun whose fingerprint
+    differs (e.g. a changed PipelineConfig knob) RECOMPUTES instead of
+    silently returning the old stage output. None skips the check
+    (fingerprint-less markers from older runs still resume under None).
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str, fingerprint: str | None = None):
         self.spark = spark
         self.workdir = workdir
+        self.fingerprint = fingerprint
         os.makedirs(workdir, exist_ok=True)
 
     def _paths(self, stage: str) -> tuple[str, str]:
@@ -48,14 +56,28 @@ class StageRunner:
     def run(self, stage: str, fn, force: bool = False) -> DataFrame:
         """Execute ``fn() -> DataFrame`` under the checkpoint protocol.
 
-        On resume (marker present) the stored table is read back instead of
-        recomputing — the downstream DAG then starts from a scan, which also
-        truncates lineage like the reference's cache probe
-        (`/root/reference/run_E2E_exhaustive.py:678-685`).
+        On resume (marker present AND fingerprint match) the stored table is
+        read back instead of recomputing — the downstream DAG then starts
+        from a scan, which also truncates lineage like the reference's cache
+        probe (`/root/reference/run_E2E_exhaustive.py:678-685`). A
+        fingerprint mismatch means the checkpoint was produced under a
+        different config: recompute rather than silently serve stale output.
         """
         data_path, marker = self._paths(stage)
         if self.is_complete(stage) and not force:
-            return self.spark.read.parquet(data_path)
+            if self.fingerprint is None:
+                return self.spark.read.parquet(data_path)
+            try:
+                with open(marker) as f:
+                    stored = json.load(f).get("fingerprint")
+            except (OSError, json.JSONDecodeError):
+                stored = None
+            if stored == self.fingerprint:
+                return self.spark.read.parquet(data_path)
+            print(
+                f"[lineage] stage {stage}: checkpoint fingerprint "
+                f"{stored!r} != current {self.fingerprint!r} — recomputing"
+            )
         t0 = time.monotonic()
         df = fn()
         df.write.mode("overwrite").parquet(data_path)
@@ -68,7 +90,11 @@ class StageRunner:
         out = self.spark.read.parquet(data_path)
         self._record_lineage(stage, out, wall_ms)
         with open(marker, "w") as f:
-            json.dump({"stage": stage, "wall_ms": wall_ms, "ts": time.time()}, f)
+            json.dump(
+                {"stage": stage, "wall_ms": wall_ms, "ts": time.time(),
+                 "fingerprint": self.fingerprint},
+                f,
+            )
         return out
 
     def _record_lineage(self, stage: str, df: DataFrame, wall_ms: int) -> None:

@@ -23,26 +23,56 @@ from pyspark.sql import functions as F
 
 
 def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
-    """documents(document_id, text) → (document_id, pos, token, start, end).
+    """documents(document_id, text) →
+    (document_id, pos, line, lpos, token, start, end).
 
-    Newlines are treated as token separators with identical width (1 char),
-    so character offsets into the ORIGINAL text are exact. Offsets come from
-    a running sum over a window — no Python, no UDF (S6-style window trick,
-    SURVEY.md §2.1).
+    Tokens carry their LINE number: newlines are hard boundaries, so span
+    windows never join tokens across a '\\n' (a cross-line span's text would
+    no longer equal ``substr(text, start+1, end-start)`` — the module's span
+    invariant). Character offsets into the ORIGINAL text are exact: line
+    starts and within-line token starts are running sums over windows
+    partitioned by (document_id) and (document_id, line) — no Python, no UDF
+    (S6-style window trick, SURVEY.md §2.1). ``pos`` stays the global token
+    index within the document.
     """
-    toks = documents.select(
-        "document_id",
-        F.posexplode(F.split(F.translate("text", "\n", " "), " ")).alias("pos", "token"),
+    lines = documents.select(
+        "document_id", F.posexplode(F.split("text", "\n")).alias("line", "_line_text")
     )
-    w = (
+    lw = (
         Window.partitionBy("document_id")
-        .orderBy("pos")
+        .orderBy("line")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return toks.withColumn(
+    lines = lines.withColumn(
+        "_line_start",
+        F.coalesce(F.sum(F.length("_line_text") + F.lit(1)).over(lw), F.lit(0)),
+    )
+    toks = lines.select(
+        "document_id", "line", "_line_start",
+        F.posexplode(F.split("_line_text", " ")).alias("lpos", "token"),
+    )
+    tw = (
+        Window.partitionBy("document_id", "line")
+        .orderBy("lpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = toks.withColumn(
         "start",
-        F.coalesce(F.sum(F.length("token") + F.lit(1)).over(w), F.lit(0)).cast("int"),
+        (
+            F.col("_line_start")
+            + F.coalesce(F.sum(F.length("token") + F.lit(1)).over(tw), F.lit(0))
+        ).cast("int"),
     ).withColumn("end", (F.col("start") + F.length("token")).cast("int"))
+    pw = Window.partitionBy("document_id").orderBy("line", "lpos")
+    return toks.select(
+        "document_id",
+        (F.row_number().over(pw) - 1).alias("pos"),
+        "line",
+        "lpos",
+        "token",
+        "start",
+        "end",
+    )
 
 
 def candidate_spans(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
@@ -51,9 +81,11 @@ def candidate_spans(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
     Emits (document_id, start_index, end_index, text) for every window of
     1..max_tokens consecutive tokens — the DataFrame analogue of the
     reference's exhaustive span enumeration bounded by max_mention_length
-    (N4: `/root/reference/modeling_E2E_exhaustive.py:87-104`).
+    (N4: `/root/reference/modeling_E2E_exhaustive.py:87-104`). Windows are
+    partitioned by (document_id, line): spans never cross a newline, keeping
+    the span-text == substring invariant exact.
     """
-    w = Window.partitionBy("document_id").orderBy("pos")
+    w = Window.partitionBy("document_id", "line").orderBy("lpos")
     cols = tokens
     for j in range(1, max_tokens):
         cols = cols.withColumn(f"_tok{j}", F.lead("token", j).over(w)).withColumn(

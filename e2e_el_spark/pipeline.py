@@ -16,7 +16,9 @@ which reproduces "two mentions co-cluster iff linked to the same entity"
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,6 +36,7 @@ from e2e_el_spark.operators.blocking import (
 from e2e_el_spark.operators.clustering import cluster_nodes
 from e2e_el_spark.operators.mentions import detect_mentions
 from e2e_el_spark.operators.scoring import score_pairs
+from e2e_el_spark.operators.segmentation import segment_documents
 
 
 @dataclass
@@ -67,9 +70,26 @@ class PipelineConfig:
     # Iceberg/parquet pages table this predicate prunes partitions at the
     # scan (SURVEY.md §4 "rewrites Catalyst gives us for free")
     langs: tuple[str, ...] | None = None
+    # W1: split documents into ≤ this many chars by greedy sentence packing
+    # before mention detection (CollectiveEL_data_formatter.py:83-186 — any
+    # real web corpus has pages far past the model budget). Mentions are
+    # detected per segment and translated back to corpus coordinates, so
+    # downstream stages and evaluation are segmentation-transparent.
+    # None disables.
+    segment_budget_chars: int | None = 2000
+    # L3: cross-encoder rerank of the top-N candidates per surface after
+    # score_candidates (modeling_FullTransformer.py:62-101). None disables;
+    # when set, the blended score is 0.7·retrieval + 0.3·cross.
+    rerank_topk: int | None = None
     weights: dict = field(
         default_factory=lambda: {"jw": 0.35, "tfidf_cos": 0.3, "emb_dot": 0.35}
     )
+
+    def fingerprint(self) -> str:
+        """Stable hash of every knob — the StageRunner resume guard (a rerun
+        with a different config must recompute, not serve stale stages)."""
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def mention_block_keys(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -234,6 +254,36 @@ def score_candidates(
     )
 
 
+def rerank_candidates(
+    scored: DataFrame, entities: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """L3 stage: cross-encode the top-N candidates per surface against the
+    candidate's canonical entity text and blend the scores
+    (`/root/reference/modeling_FullTransformer.py:62-101` applied to the
+    retrieval top-k, `utils_FullTransformer.py:395-470` pair construction —
+    at surface level the mention window IS the surface string; document-level
+    context windows plug in by swapping the text_a column)."""
+    from e2e_el_spark.operators.scoring import rerank_cross
+
+    w = Window.partitionBy("surface").orderBy(F.desc("score"), F.asc("entity_id"))
+    top = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cfg.rerank_topk)
+        .drop("_rk")
+    )
+    pairs = top.join(
+        F.broadcast(entities.select("entity_id", F.col("name").alias("_cand_text"))),
+        "entity_id",
+    )
+    rr = rerank_cross(
+        pairs, id_col="surface", cand_col="entity_id",
+        text_a="surface", text_b="_cand_text", k=cfg.rerank_topk,
+    )
+    return rr.withColumn(
+        "score", F.col("score") * 0.7 + F.col("cross_score") * 0.3
+    ).drop("_cand_text", "cross_rank")
+
+
 def link_top1(scored: DataFrame, threshold: float) -> DataFrame:
     """Per-surface argmax entity with score ≥ threshold (P7 + T5): the
     surface-level version of the reference's sigmoid-γ prune + top-1."""
@@ -279,18 +329,50 @@ def run_pipeline(
     """pages → clusters(mention_id, document_id, start_index, end_index,
     text, cluster_id), with every stage checkpointed under ``workdir``."""
     cfg = cfg or PipelineConfig()
-    runner = StageRunner(spark, workdir)
+    runner = StageRunner(spark, workdir, fingerprint=cfg.fingerprint())
 
     if cfg.langs is not None:
         pages = pages.filter(F.col("lang").isin(*cfg.langs))
     documents = runner.run("01_extract", lambda: extract_documents(pages))
-    mentions = runner.run(
-        "02_mentions", lambda: detect_mentions(documents, gazetteer, cfg.max_mention_tokens)
-    )
+
+    def _mentions() -> DataFrame:
+        if cfg.segment_budget_chars is None:
+            return detect_mentions(documents, gazetteer, cfg.max_mention_tokens)
+        # W1: detect on budget-bounded segments, then translate spans back to
+        # corpus coordinates so the rest of the pipeline (and the evaluation
+        # join on (document_id, start, end)) never sees segment ids
+        segs = segment_documents(documents, cfg.segment_budget_chars)
+        m = detect_mentions(
+            segs.select(F.col("segment_id").alias("document_id"), "text"),
+            gazetteer,
+            cfg.max_mention_tokens,
+        )
+        back = segs.select(
+            F.col("segment_id"), F.col("document_id").alias("_orig"), "seg_start"
+        )
+        start = (F.col("start_index") + F.col("seg_start")).cast("int")
+        end = (F.col("end_index") + F.col("seg_start")).cast("int")
+        return m.join(back, m["document_id"] == back["segment_id"]).select(
+            F.concat_ws(
+                "", F.col("_orig"), F.lit("#"),
+                start.cast("string"), F.lit("-"), end.cast("string"),
+            ).alias("mention_id"),
+            F.col("_orig").alias("document_id"),
+            start.alias("start_index"),
+            end.alias("end_index"),
+            "text",
+            "gazetteer_entity_id",
+        )
+
+    mentions = runner.run("02_mentions", _mentions)
     cands = runner.run("03_pairs", lambda: candidate_pairs(mentions, entities, cfg))
     scored = runner.run(
         "04_scored", lambda: score_candidates(cands, mentions, entities, cfg, gazetteer)
     )
+    if cfg.rerank_topk is not None:
+        scored = runner.run(
+            "04b_rerank", lambda: rerank_candidates(scored, entities, cfg)
+        )
     links = runner.run(
         "05_links",
         lambda: mention_links(link_top1(scored, cfg.link_threshold), mentions),

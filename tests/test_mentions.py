@@ -29,6 +29,23 @@ def test_candidate_spans_cover_ngrams(spark):
     }
 
 
+def test_spans_never_cross_line_boundaries(spark):
+    """A span joining tokens across '\\n' would break the substring
+    invariant (separator was not ' ') and enable spurious cross-sentence
+    gazetteer matches."""
+    text = "alpha beta\ngamma delta"
+    docs = spark.createDataFrame([("d1", text)], "document_id string, text string")
+    spans = candidate_spans(tokenize_with_offsets(docs), 3).collect()
+    for r in spans:
+        assert text[r.start_index : r.end_index] == r.text, r
+    assert all("beta gamma" not in r.text for r in spans)
+    # multi-word alias split by the newline must not match
+    gaz = spark.createDataFrame(
+        [("e1", "beta gamma")], "entity_id string, alias string"
+    )
+    assert detect_mentions(docs, gaz).count() == 0
+
+
 def test_detect_mentions_span_invariant_and_longest_match(spark):
     docs = spark.createDataFrame(
         [("d1", "visit amber anchor labs today")], "document_id string, text string"

@@ -76,3 +76,47 @@ def test_no_per_row_python_udfs():
             # any remaining bare `udf(` after masking pandas_udf is a violation
             offenders.append(py.name)
     assert offenders == [], offenders
+
+
+def test_rerank_cross_exact_match_wins(spark):
+    """L3 rerank: the candidate identical to the query context must rank 1;
+    k bounds the output; schema gains cross_score + cross_rank."""
+    from e2e_el_spark.operators.scoring import rerank_cross
+
+    pairs = spark.createDataFrame(
+        [
+            ("m1", "E1", "amber anchor labs", "amber anchor labs"),
+            ("m1", "E2", "amber anchor labs", "nimbus nickel networks"),
+            ("m1", "E3", "amber anchor labs", "amber anchor laboratories"),
+            ("m2", "E2", "nimbus nickel", "nimbus nickel networks"),
+            ("m2", "E1", "nimbus nickel", "amber anchor labs"),
+        ],
+        "mention_id string, entity_id string, context string, cand_text string",
+    )
+    out = rerank_cross(pairs, k=2).collect()
+    by_mention = {}
+    for r in out:
+        by_mention.setdefault(r.mention_id, []).append(r)
+    m1 = sorted(by_mention["m1"], key=lambda r: r.cross_rank)
+    assert [r.entity_id for r in m1] == ["E1", "E3"]  # exact, then near
+    assert m1[0].cross_score > m1[1].cross_score
+    assert len(by_mention["m1"]) == 2  # k enforced
+    assert by_mention["m2"][0].entity_id == "E2"
+
+
+def test_rerank_cross_deterministic_and_custom_scorer(spark):
+    from e2e_el_spark.operators.scoring import rerank_cross
+
+    pairs = spark.createDataFrame(
+        [("m1", f"E{i}", "alpha", "cand " + "x" * i) for i in range(6)],
+        "mention_id string, entity_id string, context string, cand_text string",
+    )
+    a = sorted(map(tuple, rerank_cross(pairs, k=3).collect()))
+    b = sorted(map(tuple, rerank_cross(pairs.repartition(5), k=3).collect()))
+    assert a == b  # partitioning-independent
+
+    def length_scorer_factory():
+        return lambda ta, tb: np.array([float(len(y)) for y in tb])
+
+    out = rerank_cross(pairs, k=1, scorer_factory=length_scorer_factory).collect()
+    assert len(out) == 1 and out[0].entity_id == "E5"  # longest candidate wins
