@@ -48,28 +48,27 @@ _SW_SQL = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthetic pages → extraction → mentions → blocking →
-    scoring → links → connected-component entity clusters (SURVEY.md §7.1)."""
-    import shutil
+    scoring → links → connected-component entity clusters (SURVEY.md §7.1).
+
+    Checkpoints live under a stable session-temp dir and the LAZY cluster
+    frame is returned (backed by the 06_clusters parquet) — no
+    collect/createDataFrame round-trip through the driver; repeat calls
+    resume from the checkpoints (config fingerprint guards staleness)."""
+    import os
     import tempfile
 
     from e2e_el_spark.pipeline import run_pipeline
     from e2e_el_spark.synth import aliases_df, entities_df, pages_df
 
-    workdir = tempfile.mkdtemp(prefix="el_entry_")
-    try:
-        pages = pages_df(spark, 200, n_entities=80, seed=42, partitions=8)
-        clusters = run_pipeline(
-            spark,
-            pages,
-            entities_df(spark, 80, seed=42),
-            aliases_df(spark, 80, seed=42),
-            workdir,
-        )
-        # materialize before the workdir vanishes
-        out = spark.createDataFrame(clusters.collect(), schema=clusters.schema)
-        return out
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    workdir = os.path.join(tempfile.gettempdir(), "el_entry_work")
+    pages = pages_df(spark, 200, n_entities=80, seed=42, partitions=8)
+    return run_pipeline(
+        spark,
+        pages,
+        entities_df(spark, 80, seed=42),
+        aliases_df(spark, 80, seed=42),
+        workdir,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -518,22 +517,19 @@ def q33_media_features(spark, sf_dir):
 
 def q34_el_clusters(spark, sf_dir):
     """flagship ER pipeline on deterministic synthetic pages (the engine's
-    own corpus — iterative CC + pandas-UDF scoring → rows-only)."""
-    import shutil
+    own corpus — iterative CC + pandas-UDF scoring → rows-only). Lazy frame
+    over a stable checkpoint dir; no driver collect round-trip."""
+    import os
     import tempfile
 
     from e2e_el_spark.pipeline import run_pipeline
     from e2e_el_spark.synth import aliases_df, entities_df, pages_df
 
-    workdir = tempfile.mkdtemp(prefix="el_q34_")
-    try:
-        pages = pages_df(spark, 200, n_entities=80, seed=42, partitions=8)
-        clusters = run_pipeline(
-            spark, pages, entities_df(spark, 80, seed=42), aliases_df(spark, 80, seed=42), workdir
-        )
-        return spark.createDataFrame(clusters.collect(), schema=clusters.schema)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    workdir = os.path.join(tempfile.gettempdir(), "el_q34_work")
+    pages = pages_df(spark, 200, n_entities=80, seed=42, partitions=8)
+    return run_pipeline(
+        spark, pages, entities_df(spark, 80, seed=42), aliases_df(spark, 80, seed=42), workdir
+    )
 
 
 def q35_bm25_topk(spark, sf_dir):

@@ -223,19 +223,43 @@ def tfidf_candidates(
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, width: int = 3) -> DataFrame:
-    """(id, shingle) distinct char shingles of the normalized text."""
+def shingle_array_expr(text_col: str, width: int = 3) -> str:
+    """SQL expr: the document's DISTINCT hashed shingle set as
+    ARRAY<BIGINT> — computed entirely narrowly (slide → xxhash64 →
+    array_distinct inside one projection, no explode, no shuffle)."""
+    raw = (
+        f"CASE WHEN length(lower({text_col})) >= {width} THEN "
+        f"transform(sequence(1, length(lower({text_col})) - {width} + 1), "
+        f"i -> substr(lower({text_col}), i, {width})) ELSE array(lower({text_col})) END"
+    )
+    return f"array_distinct(transform({raw}, s -> xxhash64(s)))"
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, width: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """(id, shingle) distinct shingles of the normalized text.
+
+    ``hashed=True`` (default) emits the shingle as ``xxhash64(substring)``
+    BIGINT *before* the distinct/groupBy shuffles: every downstream exchange
+    (signature build, Jaccard-verify self-join) then moves 8-byte longs
+    instead of w-char strings — the dominant shuffle of the MinHash near-dup
+    pipeline shrinks several-fold. Set semantics are unchanged up to 64-bit
+    collisions (negligible per document: ~10⁻¹⁹ at 10⁵ shingles/doc).
+    ``hashed=False`` keeps the raw substring for debugging/inspection.
+    """
+    raw = (
+        # standard full sliding window (not the compat quirk)
+        f"CASE WHEN length(lower({text_col})) >= {width} THEN "
+        f"transform(sequence(1, length(lower({text_col})) - {width} + 1), "
+        f"i -> substr(lower({text_col}), i, {width})) ELSE array(lower({text_col})) END"
+    )
+    expr = f"transform({raw}, s -> xxhash64(s))" if hashed else raw
     return (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(
-                F.expr(
-                    # standard full sliding window (not the compat quirk)
-                    f"CASE WHEN length(lower({text_col})) >= {width} THEN "
-                    f"transform(sequence(1, length(lower({text_col})) - {width} + 1), "
-                    f"i -> substr(lower({text_col}), i, {width})) ELSE array(lower({text_col})) END"
-                )
-            ).alias("shingle"),
+            F.explode(F.expr(expr)).alias("shingle"),
         )
         .distinct()
     )
@@ -247,18 +271,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>) — MinHash signature, built-ins only.
 
-    h_i(x) = xxhash64(shingle, seed=i); sig[i] = min over shingles. The
-    explode/groupBy is one shuffle with map-side partial min — no UDF, no
-    Python (contrast: the reference delegates to FAISS/torch.topk,
-    `/root/reference/utils_FullTransformer.py:272-277`).
+    h_i(x) = xxhash64(shingle_hash, i); sig[i] = min over the document's
+    distinct shingle set. The whole signature is ONE narrow projection —
+    per-doc ``array_min(transform(...))`` over the shingle-hash array — so
+    there is **zero shuffle**: no explode, no groupBy (contrast: the
+    reference delegates to FAISS/torch.topk,
+    `/root/reference/utils_FullTransformer.py:272-277`). At 100 TB this is
+    the difference between a map-only stage and shuffling every
+    (doc, shingle) row.
     """
-    sh = shingles(df, id_col, text_col, shingle_width)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("_id").agg(*mins)
-    return sig.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    hs = df.select(
+        F.col(id_col), F.expr(shingle_array_expr(text_col, shingle_width)).alias("_hs")
     )
+    sig = F.array(
+        *[F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))") for i in range(num_hashes)]
+    )
+    return hs.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_band_keys(

@@ -84,37 +84,34 @@ def minhash_near_duplicates(
     Jaccard per pair so the threshold is exact, not probabilistic.
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
     """
+    from e2e_el_spark.operators.blocking import shingle_array_expr
+
     rows = num_hashes // bands
-    # one shingle table feeds the signatures AND both sides of the Jaccard
-    # verify join — cache it instead of recomputing the explode three times
-    sh = shingles(df, id_col, text_col, shingle_width).cache()
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy("_id").agg(*mins).select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    # per-doc distinct shingle-hash ARRAY, computed narrowly (no explode, no
+    # distinct shuffle); feeds the signatures AND the Jaccard verify
+    hs = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(shingle_array_expr(text_col, shingle_width)).alias("_hs"),
+    ).cache()
+    sig = F.array(
+        *[F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))") for i in range(num_hashes)]
     )
+    sigs = hs.select(F.col("_id").alias(id_col), sig.alias("sig"))
     keys = lsh_band_keys(sigs, id_col, bands, rows)
     cand = same_block_pairs(keys, id_col, max_block_size=max_block_size).select(
         "id_a", "id_b"
     )
-    sh_count = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    # verify on the pair table via array_intersect — moves one bounded array
+    # per pair side instead of re-shuffling every (doc, shingle) row through
+    # an exploded equi-join (the round-1 shape; was ~half the headline bench)
+    a = hs.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
+    b = hs.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+    paired = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_ha", "_hb"))
     return (
-        inter.join(sh_count.withColumnRenamed("_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
-        .join(sh_count.withColumnRenamed("_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
-        .select(
+        paired.select(
             "id_a", "id_b",
-            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+            (inter / (F.size("_ha") + F.size("_hb") - inter).cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )

@@ -13,16 +13,23 @@ from pyspark.sql import functions as F
 
 
 def lines_df(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.text + a stable line number per file.
+    """spark.read.text + (file, line_no, value) with line numbers PER FILE.
 
-    zipWithIndex-free: uses (file, offset) ordering via
-    monotonically_increasing_id *only for ordering within a read*, which is
-    stable for a single text file read. For multi-file corpora pass an
-    explicit line_no column instead.
+    The running-number window is partitioned by ``input_file_name()`` so a
+    multi-file corpus parallelizes per file — an unpartitioned
+    ``Window.orderBy`` would serialize the whole corpus through one task at
+    scale. Within a file, monotonically_increasing_id preserves read order
+    (file splits are enumerated by ascending offset).
     """
-    df = spark.read.text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.select(F.row_number().over(w).alias("line_no"), F.col("value"))
+    df = spark.read.text(path).withColumn("file", F.input_file_name())
+    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+    return df.select("file", F.row_number().over(w).alias("line_no"), F.col("value"))
+
+
+def _fcols(lines: DataFrame) -> list[str]:
+    """Window partition columns: by file when the lines carry one (the
+    multi-file scale path), else unpartitioned (single fixture)."""
+    return ["file"] if "file" in lines.columns else []
 
 
 def parse_pubtator(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -73,17 +80,24 @@ def parse_conll(lines: DataFrame) -> DataFrame:
 
     Document boundaries = blank lines or -DOCSTART- headers; doc_id is the
     running count of boundaries seen (window cumulative sum — the SURVEY S6
-    recipe).
+    recipe), per file and prefixed with the file name when the input is
+    multi-file so ids stay globally unique AND the window parallelizes.
     """
-    w = Window.orderBy("line_no")
+    fc = _fcols(lines)
+    w = Window.partitionBy(*fc).orderBy("line_no")
     marked = lines.withColumn(
         "is_boundary",
         (F.trim(F.col("value")) == "") | F.col("value").startswith("-DOCSTART-"),
     ).withColumn(
-        "doc_id", F.sum(F.when(F.col("is_boundary"), 1).otherwise(0)).over(w)
+        "_dnum", F.sum(F.when(F.col("is_boundary"), 1).otherwise(0)).over(w)
+    )
+    doc_id = (
+        F.concat_ws("#", F.col("file"), F.col("_dnum").cast("string"))
+        if fc
+        else F.col("_dnum")
     )
     toks = marked.filter(~F.col("is_boundary")).select(
-        "doc_id",
+        doc_id.alias("doc_id"),
         "line_no",
         F.split(F.col("value"), r"\s+").getItem(0).alias("token"),
         F.element_at(F.split(F.col("value"), r"\s+"), -1).alias("tag"),
@@ -135,9 +149,15 @@ def bio_to_spans(tokens: DataFrame) -> DataFrame:
 def parse_candidate_dict(lines: DataFrame) -> DataFrame:
     """AIDA ENTITY/CANDIDATE line pairs → (mention_text, candidate_ids) (S10,
     `/root/reference/mention_candidates_AIDA.py:14-31`): fill-down the last
-    ENTITY over following CANDIDATE lines, then collect."""
-    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    ENTITY over following CANDIDATE lines (per file — ENTITY/CANDIDATE runs
+    never straddle files), then collect."""
+    fc = _fcols(lines)
+    w = (
+        Window.partitionBy(*fc).orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     tagged = lines.select(
+        *fc,
         "line_no",
         F.when(
             F.col("value").startswith("ENTITY"),
@@ -179,8 +199,14 @@ def parse_aida(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``--NME--`` (unlinkable) rows are plain words. Mention spans are B/I
     assembled; char offsets are positions in the space-joined word text.
     Columns: word, B/I, mention_text, entity_name, _, gold_id.
+
+    Running windows are per file when the lines carry a ``file`` column —
+    '-DOCSTART- (id)' headers carry corpus-unique doc ids, so downstream
+    grouping needs no file prefix; only the fill-down/counter windows must
+    not cross files.
     """
-    w_all = Window.orderBy("line_no")
+    fc = _fcols(lines)
+    w_all = Window.partitionBy(*fc).orderBy("line_no")
     marked = (
         lines.withColumn("is_doc", F.col("value").startswith("-DOCSTART-"))
         .withColumn("is_blank", F.trim(F.col("value")) == "")

@@ -92,3 +92,44 @@ def test_normalize_entity_ids(spark):
     )
     got = [r.entity_id for r in normalize_entity_ids(df).collect()]
     assert got == ["C123", "D1", "E1", "plain"]
+
+
+def test_multifile_ingestion_parallel_and_identical(spark, tmp_path):
+    """S5-S7/S10 scale fix: multi-file corpora parse with PER-FILE windows —
+    results identical to per-file parses, and the physical plans contain no
+    single-partition exchange (the unpartitioned-window serializer)."""
+    from e2e_el_spark.sources.corpus_formats import lines_df
+
+    conll_a = "-DOCSTART- (1)\nJohn B-PER\nSmith I-PER\n\nAcme B-ORG\n"
+    conll_b = "-DOCSTART- (9)\nParis B-LOC\nrocks O\n"
+    (tmp_path / "a.txt").write_text(conll_a)
+    (tmp_path / "b.txt").write_text(conll_b)
+
+    both = parse_conll(lines_df(spark, str(tmp_path / "*.txt")))
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+    def _rows(df):
+        # doc ids are file-prefixed in multi-file mode; compare per-file tails
+        return sorted(
+            (r.doc_id.split("#")[0].rsplit("/", 1)[-1], int(r.doc_id.split("#")[1]),
+             r.pos, r.token, r.tag)
+            for r in df.collect()
+        )
+
+    merged = _rows(both)
+    solo = _rows(parse_conll(lines_df(spark, str(tmp_path / "a.txt")))) + _rows(
+        parse_conll(lines_df(spark, str(tmp_path / "b.txt")))
+    )
+    assert merged == sorted(solo)
+    # per-file doc numbering: each file restarts its boundary counter
+    files = {f for f, *_ in merged}
+    assert files == {"a.txt", "b.txt"}
+
+    # candidate-dict: ENTITY fill-down never crosses files
+    (tmp_path / "c1.txt").write_text("ENTITY Japan\nCANDIDATE E1\n")
+    (tmp_path / "c2.txt").write_text("CANDIDATE ORPHAN\nENTITY Tokyo\nCANDIDATE E9\n")
+    cands = parse_candidate_dict(lines_df(spark, str(tmp_path / "c*.txt")))
+    got = {r.mention_text: sorted(r.candidate_ids) for r in cands.collect()}
+    # ORPHAN precedes any ENTITY in its file → fill-down leaves it unowned
+    assert got == {"Japan": ["E1"], "Tokyo": ["E9"], None: ["ORPHAN"]}
