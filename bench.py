@@ -145,6 +145,19 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
     return results
 
 
+def attach_normalized_efficiency(scaling: dict) -> None:
+    """Raw AND machine-ceiling-normalized efficiency side by side: the raw
+    number divides by the ideal 4×; the normalized number divides by what
+    raw CPU-only multiprocessing achieves over the SAME core span on this
+    VM (measured in the same bench run) — the attainable ceiling."""
+    eff = scaling.get("scaling_efficiency")
+    # the ceiling probe is weak-scaling (per-proc work fixed, procs scale),
+    # so t2/t8 already IS the efficiency: 1.0 = perfect
+    ceil = (scaling.get("machine_ceiling") or {}).get("cpu_efficiency_2_to_8")
+    if eff is not None and ceil:
+        scaling["scaling_efficiency_normalized_to_ceiling"] = round(eff / ceil, 3)
+
+
 def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
@@ -178,6 +191,13 @@ def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
         "minutes (identical configs measured 216s and 306s an hour apart).",
         "Trials are ABBA-interleaved across levels and medians reported;",
         "raise EL_BENCH_TRIALS for tighter intervals.",
+        "",
+        "Two efficiencies are reported side by side:",
+        "`scaling_efficiency` is the RAW job number (throughput ratio / 4);",
+        "`scaling_efficiency_normalized_to_ceiling` divides by the machine's",
+        "own weak-scaling CPU efficiency over the same 2→8 span, measured",
+        "concurrently (`machine_ceiling.cpu_efficiency_2_to_8`) — the share",
+        "of the attainable ceiling the job achieves on this host.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -196,9 +216,10 @@ def main() -> None:
         pages = int(os.environ.get("EL_BENCH_PAGES", "30000"))
         mult = int(os.environ.get("EL_BENCH_MULT", "8"))
         ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
-        trials = int(os.environ.get("EL_BENCH_TRIALS", "1"))
+        trials = int(os.environ.get("EL_BENCH_TRIALS", "2"))
         scaling = run_scaling(levels, pages, mult, ents, trials)
         scaling["machine_ceiling"] = measure_machine_ceiling()
+        attach_normalized_efficiency(scaling)
 
     write_bench_md(queries, scaling, sf_dir)
     total = round(sum(queries.values()), 2)

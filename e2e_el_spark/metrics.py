@@ -151,7 +151,9 @@ def gold_rank_histogram(scored: DataFrame) -> DataFrame:
     )
 
 
-def pairwise_f1_from_counts(blocked_clusters: DataFrame) -> dict:
+def pairwise_f1_from_counts(
+    blocked_clusters: DataFrame, dedupe_keys: bool = False
+) -> dict:
     """Exact pairwise F1 over same-blocking-key pairs WITHOUT materializing
     the O(Σ block²) pair table — the form that survives web scale.
 
@@ -162,9 +164,23 @@ def pairwise_f1_from_counts(blocked_clusters: DataFrame) -> dict:
       actual_pos    = Σ_{block,label}         C(n, 2)
       tp            = Σ_{block,cluster,label} C(n, 2)
 
-    which equal the pair-table counts exactly (verified against
-    :func:`labeled_same_block_pairs` + :func:`pairwise_f1` in tests).
+    **PRECONDITION: one block key per mention.** The counting identity
+    matches the deduped pair table (:func:`labeled_same_block_pairs` +
+    :func:`pairwise_f1`) only when no unordered mention pair can share TWO
+    keys — guaranteed when each mention carries exactly one key. Multi-key
+    inputs (e.g. LSH band keys) double-count shared-in-two-bands pairs here
+    while the pair table dedupes them. For such inputs pass
+    ``dedupe_keys=True``: each mention is reduced to its min block key first
+    (pairs are then counted within primary blocks only — a deterministic,
+    documented coarsening, NOT the multi-key pair-table semantics).
     """
+    if dedupe_keys:
+        w = Window.partitionBy("mention_id").orderBy("block_key")
+        blocked_clusters = (
+            blocked_clusters.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def _pairs(df: DataFrame, *keys: str) -> int:
         row = (

@@ -52,33 +52,72 @@ def read_mentions_collective_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+EL4QA_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("mentions", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    T.StructField("label_id", T.ArrayType(T.StringType())),   # Wikipedia ID
+    T.StructField("entity", T.ArrayType(T.StringType())),     # entity name
+    T.StructField("label", T.ArrayType(T.StringType())),      # description
+])
+
+
 def read_el4qa_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """S8: question EL rows with [[start,end],...] spans
-    (`/root/reference/utils_EL4QA.py:13-43`) → one row per mention via
-    posexplode."""
-    schema = T.StructType([
-        T.StructField("id", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("mentions", T.ArrayType(T.ArrayType(T.IntegerType()))),
-        T.StructField("wikidata_id", T.ArrayType(T.StringType())),
-        T.StructField("entity", T.ArrayType(T.StringType())),
-        T.StructField("label", T.ArrayType(T.StringType())),
-    ])
-    raw = spark.read.schema(schema).json(path)
+    """S8: question EL rows with [[start,end],...] spans and parallel
+    label_id/entity/label arrays (`/root/reference/utils_EL4QA.py:13-43`)
+    → one row per mention via posexplode."""
+    raw = spark.read.schema(EL4QA_SCHEMA).json(path)
     return raw.select(
         F.col("id").alias("question_id"),
         "text",
         F.posexplode("mentions").alias("mention_idx", "span"),
-        F.col("wikidata_id"),
+        F.col("label_id"),
         F.col("entity"),
     ).select(
         "question_id",
         "text",
         "mention_idx",
-        F.col("span").getItem(0).alias("start_index"),
-        F.col("span").getItem(1).alias("end_index"),
-        F.element_at("wikidata_id", F.col("mention_idx") + 1).alias("label_candidate_id"),
+        F.get("span", 0).alias("start_index"),
+        F.get("span", 1).alias("end_index"),
+        F.element_at("label_id", F.col("mention_idx") + 1).alias("label_candidate_id"),
         F.element_at("entity", F.col("mention_idx") + 1).alias("entity_name"),
+    )
+
+
+def build_el4qa_kb(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S8 KB construction: union of entity descriptions across the splits,
+    first-occurrence-wins, text = ``entity + ' [SEP]' + description``
+    (`/root/reference/utils_EL4QA.py:15-26` — the reference iterates
+    train/test/dev in order and keeps the first description per label_id).
+
+    Distributed first-wins: each path gets its position in ``paths`` as the
+    priority; per entity_id the (lowest-priority, then lexicographically
+    smallest text) row survives — deterministic under any partitioning.
+    Returns (entity_id, text).
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for prio, path in enumerate(paths):
+        raw = spark.read.schema(EL4QA_SCHEMA).json(path)
+        parts.append(
+            raw.select(
+                F.posexplode(F.arrays_zip("label_id", "entity", "label")).alias("_i", "z"),
+            ).select(
+                F.col("z.label_id").alias("entity_id"),
+                F.concat_ws(" [SEP]", F.col("z.entity"), F.col("z.label")).alias("text"),
+                F.lit(prio).alias("_prio"),
+            )
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    w = Window.partitionBy("entity_id").orderBy("_prio", "text")
+    return (
+        allrows.filter(F.col("entity_id").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("entity_id", "text")
     )
 
 
@@ -101,6 +140,56 @@ def read_glove_json(spark: SparkSession, path: str) -> DataFrame:
 def write_documents_jsonl(df: DataFrame, path: str) -> None:
     """S13 (`/root/reference/el_data_formatter.py:69-73`)."""
     df.select("document_id", "text").write.mode("overwrite").json(path)
+
+
+def candidates_json_rows(cands: DataFrame) -> DataFrame:
+    """Nest flat candidate rows into the reference's per-doc/per-mention
+    candidate structure (`/root/reference/candidate_selection.py:200-216`:
+    ``mentions[doc][mention]['all_candidates'] = [{candidate_id, text}...]``).
+
+    Input: (document_id, mention_id, rank, candidate_id, text) — one row per
+    candidate. Output: one row per document with a ``mentions`` map of
+    mention_id → {all_candidates: [...]} structs, candidates ordered by rank.
+    """
+    per_mention = (
+        cands.groupBy("document_id", "mention_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "candidate_id", "text"))
+                ),
+                lambda s: F.struct(
+                    s["candidate_id"].alias("candidate_id"), s["text"].alias("text")
+                ),
+            ).alias("all_candidates")
+        )
+    )
+    return per_mention.groupBy("document_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("mention_id"),
+                        F.struct(F.col("all_candidates").alias("all_candidates")),
+                    )
+                )
+            )
+        ).alias("mentions")
+    )
+
+
+def write_candidates_json(cands: DataFrame, path: str) -> None:
+    """S13/TF-IDF candidate interchange sink: one JSON object PER DOCUMENT
+    per line — ``{"document_id": ..., "mentions": {mid: {"all_candidates":
+    [{"candidate_id", "text"}, ...]}}}``.
+
+    The reference dumps the whole corpus as ONE json dict
+    (candidate_selection.py:213-216) — a driver-memory artifact; at scale the
+    per-document JSONL shape streams and partitions, and concatenating the
+    lines reproduces the reference content exactly (same nesting below the
+    document key).
+    """
+    candidates_json_rows(cands).write.mode("overwrite").json(path)
 
 
 def write_links_tsv(links: DataFrame, path: str) -> None:

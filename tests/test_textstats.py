@@ -115,3 +115,40 @@ def test_pairwise_f1_counts_equals_pair_table(spark):
     b = pairwise_f1_from_counts(df)
     assert (a["tp"], a["fp"], a["fn"]) == (b["tp"], b["fp"], b["fn"]), (a, b)
     assert a["f1"] == pytest.approx(b["f1"])
+
+
+def test_pairwise_f1_counts_multi_key_dedupe(spark):
+    """Multi-key inputs (LSH band keys): counts version double-counts pairs
+    sharing two keys unless dedupe_keys=True reduces mentions to their
+    primary block first; with dedupe the counts equal the pair table built
+    on the same one-key-per-mention reduction."""
+    import random
+
+    from e2e_el_spark.metrics import pairwise_f1_from_counts
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        label, cluster = f"L{rng.randrange(4)}", f"c{rng.randrange(5)}"
+        for bk in rng.sample(["b0", "b1", "b2", "b3"], k=rng.randrange(1, 3)):
+            rows.append((f"m{i}", bk, label, cluster))
+    df = spark.createDataFrame(
+        rows, "mention_id string, block_key string, label_candidate_id string, cluster_id string"
+    )
+    # one-key reduction (min block key per mention)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mention_id").orderBy("block_key")
+    primary = (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    a = pairwise_f1(labeled_same_block_pairs(primary), primary.select("mention_id", "cluster_id"))
+    b = pairwise_f1_from_counts(df, dedupe_keys=True)
+    assert (a["tp"], a["fp"], a["fn"]) == (b["tp"], b["fp"], b["fn"]), (a, b)
+    # and the documented divergence without dedupe: counts >= pair table
+    raw = pairwise_f1_from_counts(df)
+    pair_table = pairwise_f1(
+        labeled_same_block_pairs(df),
+        df.select("mention_id", "cluster_id").distinct(),
+    )
+    assert raw["tp"] + raw["fp"] >= pair_table["tp"] + pair_table["fp"]
