@@ -498,20 +498,25 @@ def q32_lsh_ann(spark, sf_dir):
 
 
 def q33_media_features(spark, sf_dir):
-    """multimodal plumbing: binary payload column → mapInPandas feature
-    extraction (decode stubbed deterministically; schema/batching real)."""
+    """multimodal: binary payload column → mapInPandas feature extraction
+    through the REAL raster decode (valid binary-PPM payloads are built
+    JVM-side from doc bytes: header + 4x4 RGB pixel block; decode_image
+    parses them in pure numpy — no fake path)."""
     from e2e_el_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents").limit(200)
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"),
+            F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "utf-8"),
+        ).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
         F.lit(4).alias("width"), F.lit(4).alias("height"),
         F.lit(0).alias("duration_ms"),
     )
-    feats = extract_features(media, dim=16, fake=True)
+    feats = extract_features(media, dim=16, fake=False)
     return feats.select("media_id", "n_bytes", "sha1")
 
 
@@ -662,6 +667,22 @@ def q40_rerank_cross(spark, sf_dir):
     )
 
 
+def q41_embedding_near_dups(spark, sf_dir):
+    """embedding-cosine near-dup: hyperplane-LSH bucket join + exact cosine
+    verify (dedup.embedding_near_duplicates). The synthetic embeddings have
+    no natural near-dups (max pairwise cosine ≈ 0.51), so vec_id < 50 are
+    duplicated under shifted ids — exactly those 50 identical pairs must
+    surface at cosine 1.0. Hash-seeded planes → rows-only check."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = D.embedding_near_duplicates(
+        e.unionByName(dup), "vec_id", "embedding", cosine_threshold=0.95, n_planes=6
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -704,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_gold_rank_histogram": q38_gold_rank_histogram,
         "q39_greedy_segmentation": q39_greedy_segmentation,
         "q40_rerank_cross": q40_rerank_cross,
+        "q41_embedding_near_dups": q41_embedding_near_dups,
     }
 
 

@@ -77,10 +77,7 @@ def _cpu_work(n: int) -> int:
     return h
 
 
-def measure_machine_ceiling() -> dict:
-    """Raw CPU-only multiprocessing scaling of this VM (no Spark, no shared
-    state) — the upper bound any job-level scaling claim can reach. Justifies
-    the N=2 vs 4N=8 level choice when 8→32 is hardware-capped."""
+def _ceiling_probe_once() -> tuple[float, float, float]:
     import multiprocessing as mp
 
     def bench_procs(procs: int, per: int = 800_000) -> float:
@@ -89,12 +86,32 @@ def measure_machine_ceiling() -> dict:
             p.map(_cpu_work, [per] * procs)
         return time.time() - t
 
-    t2, t8, t32 = bench_procs(2), bench_procs(8), bench_procs(32)
+    return bench_procs(2), bench_procs(8), bench_procs(32)
+
+
+def summarize_ceiling(samples: list[tuple[float, float, float]]) -> dict:
+    """Median over probe samples — a single probe lands in one noise window
+    of this shared VM (±40% drift) and has produced nonsense like an 8→32
+    'efficiency' above 1; sampling once per ABBA round and taking medians
+    measures the same window the job trials ran in."""
+    import statistics
+
+    t2 = statistics.median(s[0] for s in samples)
+    t8 = statistics.median(s[1] for s in samples)
+    t32 = statistics.median(s[2] for s in samples)
     return {
+        "n_probes": len(samples),
         "wall_2p_s": round(t2, 2), "wall_8p_s": round(t8, 2), "wall_32p_s": round(t32, 2),
         "cpu_efficiency_2_to_8": round(t2 / t8, 3),
         "cpu_efficiency_8_to_32": round(t8 / t32, 3),
     }
+
+
+def measure_machine_ceiling(samples: int = 3) -> dict:
+    """Raw CPU-only multiprocessing scaling of this VM (no Spark, no shared
+    state) — the upper bound any job-level scaling claim can reach. Justifies
+    the N=2 vs 4N=8 level choice when 8→32 is hardware-capped."""
+    return summarize_ceiling([_ceiling_probe_once() for _ in range(samples)])
 
 
 def _one_scaling_run(cpus: int, pages: int, mult: int, ents: int) -> dict:
@@ -114,16 +131,19 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
     would bake the drift into the ratio. Per-level wall = median of trials."""
     import statistics
 
-    order: list[int] = []
-    for t in range(trials):
-        order.extend(levels if t % 2 == 0 else list(reversed(levels)))
     walls: dict[int, list[float]] = {c: [] for c in levels}
     last: dict[int, dict] = {}
-    for cpus in order:
-        r = _one_scaling_run(cpus, pages, mult, ents)
-        if "best_wall_s" in r:
-            walls[cpus].append(r["best_wall_s"])
-            last[cpus] = r
+    ceiling_samples: list[tuple[float, float, float]] = []
+    for t in range(trials):
+        # one machine-ceiling probe per ABBA round: samples the SAME noise
+        # window the job trials run in (a single end-of-run probe has
+        # produced ±40%-drift artifacts)
+        ceiling_samples.append(_ceiling_probe_once())
+        for cpus in (levels if t % 2 == 0 else list(reversed(levels))):
+            r = _one_scaling_run(cpus, pages, mult, ents)
+            if "best_wall_s" in r:
+                walls[cpus].append(r["best_wall_s"])
+                last[cpus] = r
     results: dict = {}
     for cpus in levels:
         if not walls[cpus]:
@@ -142,7 +162,39 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
         factor = levels[-1] / levels[0]
         results["throughput_ratio"] = round(ratio, 3)
         results["scaling_efficiency"] = round(ratio / factor, 3)
+    if ceiling_samples:
+        results["machine_ceiling"] = summarize_ceiling(ceiling_samples)
+    attach_stage_decomposition(results, levels)
     return results
+
+
+def attach_stage_decomposition(results: dict, levels: list[int]) -> None:
+    """Per-stage N vs 4N speedups + the corpus-proportional efficiency.
+
+    The pairs stage (03) is KB-BOUNDED: its input is the distinct-surface ×
+    entity universe, which does not grow with the page corpus — at bench
+    scale its tasks are too small to use 4× cores, while at 100 TB it is a
+    vanishing fraction of the job. The corpus-proportional stages (extract,
+    mentions, scoring, links, clustering) are the ones whose scaling
+    predicts cluster behavior; their summed-wall efficiency is reported as
+    ``corpus_proportional_efficiency`` alongside the raw whole-job number —
+    a decomposition, not a substitution."""
+    lo, hi = f"n{levels[0]}", f"n{levels[-1]}"
+    sw_lo = results.get(lo, {}).get("stage_walls_s")
+    sw_hi = results.get(hi, {}).get("stage_walls_s")
+    if not (sw_lo and sw_hi):
+        return
+    factor = levels[-1] / levels[0]
+    results["stage_speedup"] = {
+        s: round(sw_lo[s] / sw_hi[s], 2)
+        for s in sorted(sw_lo)
+        if s in sw_hi and sw_hi[s] > 0
+    }
+    corpus_stages = [s for s in sw_lo if s in sw_hi and s != "03_pairs"]
+    lo_sum = sum(sw_lo[s] for s in corpus_stages)
+    hi_sum = sum(sw_hi[s] for s in corpus_stages)
+    if hi_sum > 0:
+        results["corpus_proportional_efficiency"] = round((lo_sum / hi_sum) / factor, 3)
 
 
 def attach_normalized_efficiency(scaling: dict) -> None:
@@ -192,12 +244,19 @@ def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
         "Trials are ABBA-interleaved across levels and medians reported;",
         "raise EL_BENCH_TRIALS for tighter intervals.",
         "",
-        "Two efficiencies are reported side by side:",
-        "`scaling_efficiency` is the RAW job number (throughput ratio / 4);",
-        "`scaling_efficiency_normalized_to_ceiling` divides by the machine's",
-        "own weak-scaling CPU efficiency over the same 2→8 span, measured",
-        "concurrently (`machine_ceiling.cpu_efficiency_2_to_8`) — the share",
-        "of the attainable ceiling the job achieves on this host.",
+        "Three efficiencies are reported side by side — a decomposition,",
+        "not a substitution:",
+        "`scaling_efficiency` is the RAW whole-job number (throughput",
+        "ratio / 4). `scaling_efficiency_normalized_to_ceiling` divides by",
+        "the machine's own weak-scaling CPU efficiency over the same 2→8",
+        "span, probed once per ABBA round (`machine_ceiling`).",
+        "`corpus_proportional_efficiency` covers the stages whose work grows",
+        "with the page corpus (extract/mentions/scoring/links/clustering) —",
+        "see `stage_speedup` for the per-stage walls. The pairs stage is",
+        "KB-BOUNDED (distinct surfaces × entities, invariant to corpus",
+        "size): at bench scale its sub-second tasks cannot use 4× cores, at",
+        "100 TB it is a vanishing fraction of the job. The per-stage table",
+        "makes that visible instead of hiding it in one blended number.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -213,12 +272,13 @@ def main() -> None:
     scaling: dict = {}
     if os.environ.get("EL_SKIP_SCALING") != "1":
         levels = [int(x) for x in os.environ.get("EL_SCALING_LEVELS", "2,8").split(",")]
-        pages = int(os.environ.get("EL_BENCH_PAGES", "30000"))
+        pages = int(os.environ.get("EL_BENCH_PAGES", "60000"))
         mult = int(os.environ.get("EL_BENCH_MULT", "8"))
         ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
         trials = int(os.environ.get("EL_BENCH_TRIALS", "2"))
         scaling = run_scaling(levels, pages, mult, ents, trials)
-        scaling["machine_ceiling"] = measure_machine_ceiling()
+        if "machine_ceiling" not in scaling:
+            scaling["machine_ceiling"] = measure_machine_ceiling()
         attach_normalized_efficiency(scaling)
 
     write_bench_md(queries, scaling, sf_dir)

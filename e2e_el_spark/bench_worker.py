@@ -36,11 +36,18 @@ def main() -> None:
     gaz = aliases_df(spark, n_ents, seed=1)
     walls = []
     n_clusters = 0
+    stage_walls: dict[str, float] = {}
     for _ in range(trials):
         shutil.rmtree(workdir, ignore_errors=True)
         t0 = time.time()
         n_clusters = run_pipeline(spark, pages, ents, gaz, workdir).count()
         walls.append(round(time.time() - t0, 2))
+        # per-stage walls from the lineage table — the scaling-decomposition
+        # evidence (corpus-proportional stages vs the KB-bounded pairs stage)
+        lin = spark.read.parquet(f"{workdir}/_lineage")
+        for r in lin.groupBy("stage").agg({"wall_ms": "max"}).collect():
+            w = r["max(wall_ms)"] / 1000.0
+            stage_walls[r["stage"]] = round(min(stage_walls.get(r["stage"], w), w), 1)
     shutil.rmtree(workdir, ignore_errors=True)
     shutil.rmtree(f"{workdir}_warm", ignore_errors=True)
     best = min(walls)
@@ -48,6 +55,7 @@ def main() -> None:
         "cpus": cpus, "pages": n_pages, "size_mult": mult, "entities": n_ents,
         "clusters": n_clusters, "walls_s": walls, "best_wall_s": best,
         "pages_per_sec": round(n_pages / best, 1),
+        "stage_walls_s": dict(sorted(stage_walls.items())),
     }))
     spark.stop()
 

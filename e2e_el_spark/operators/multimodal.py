@@ -1,17 +1,18 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition-preserving
-mapInPandas, Arrow batch shapes, deterministic fake features — while the
-actual codec decode is STUBBED (no image/audio libs in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic pseudo-decode derives features from the bytes alone.
-Swapping in PIL/torchaudio later only replaces the inner function; the
-DataFrame contract is unchanged.
+mapInPandas, Arrow batch shapes — and ``decode_image`` REALLY decodes the
+uncompressed raster formats parseable without codec libraries: binary PPM
+(P6), binary PGM (P5), and uncompressed 24/32-bit BMP, all in pure numpy.
+Compressed formats (JPEG/PNG) still raise NotImplementedError unless
+``fake=True`` (no codec libs in this container) — swapping in PIL later
+only replaces the inner function; the DataFrame contract is unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -28,18 +29,84 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode image bytes → HxWx3 array. STUB: real codecs unavailable here.
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → HxWx3 float32 array."""
+    magic = payload[:2]
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    arr = arr.reshape(h, w, ch).astype(np.float32)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
 
-    fake=True returns a deterministic 4x4x3 pseudo-image derived from the
-    byte content (pure function), so downstream plumbing is testable.
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → HxWx3 float32."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    nb = bpp // 8
+    row_bytes = (w * nb + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset)
+    rows = rows.reshape(h, row_bytes)[:, : w * nb].reshape(h, w, nb)
+    if flip:
+        rows = rows[::-1]
+    bgr = rows[:, :, :3].astype(np.float32)
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode image bytes → HxWx3 float32 array.
+
+    REAL decode for the self-describing uncompressed formats (binary
+    PPM/PGM, uncompressed 24/32-bit BMP) in pure numpy. Compressed codecs
+    (JPEG/PNG) are unavailable in this container: they raise
+    NotImplementedError unless ``fake=True``, which returns a deterministic
+    4x4x3 pseudo-image derived from the byte content (pure function) so
+    downstream plumbing stays testable.
     """
+    b = payload or b""
+    try:
+        if b[:2] in (b"P6", b"P5"):
+            return _decode_pnm(b)
+        if b[:2] == b"BM":
+            return _decode_bmp(b)
+    except Exception:
+        if not fake:  # fake mode tolerates magic-byte lookalikes
+            raise
     if not fake:
         raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "or plug a real decoder (PIL) into extract_features(decoder=...)"
+            "only PPM/PGM/BMP decode without codec libs; pass fake=True or "
+            "plug a real decoder (PIL) into extract_features"
         )
-    h = hashlib.sha256(payload or b"").digest()
+    h = hashlib.sha256(b).digest()
     arr = np.frombuffer((h * 2)[:48], dtype=np.uint8).reshape(4, 4, 3)
     return arr.astype(np.float32)
 

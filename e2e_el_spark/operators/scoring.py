@@ -149,8 +149,22 @@ def score_pairs(
     """
     w = dict(weights or DEFAULT_WEIGHTS)
     out = pairs.withColumn("jw", jaro_winkler_udf(F.col(text_a), F.col(text_b)))
-    out = out.withColumn("_ea", embed_udf(F.col(text_a))).withColumn(
-        "_eb", embed_udf(F.col(text_b))
+    # embed each DISTINCT string once, then join the vectors back — the pair
+    # table repeats every surface ~topk×aliases times, so embedding per pair
+    # row would redo the (expensive) hashing that many times over. The
+    # distinct sides are far smaller than the pair table; AQE broadcasts the
+    # alias side on its own.
+    ea = (
+        pairs.select(F.col(text_a).alias("_ta")).distinct()
+        .withColumn("_ea", embed_udf(F.col("_ta")))
+    )
+    eb = (
+        pairs.select(F.col(text_b).alias("_tb")).distinct()
+        .withColumn("_eb", embed_udf(F.col("_tb")))
+    )
+    out = (
+        out.join(ea, F.col(text_a) == F.col("_ta")).drop("_ta")
+        .join(eb, F.col(text_b) == F.col("_tb")).drop("_tb")
     )
     out = out.withColumn("emb_dot", dot_udf(F.col("_ea"), F.col("_eb"))).drop("_ea", "_eb")
     if tfidf_col is not None and tfidf_col in pairs.columns:

@@ -86,10 +86,14 @@ class PipelineConfig:
     )
 
     def fingerprint(self) -> str:
-        """Stable hash of every knob — the StageRunner resume guard (a rerun
-        with a different config must recompute, not serve stale stages)."""
+        """Stable hash of every knob AND the engine version — the
+        StageRunner resume guard (a rerun with a different config, or
+        against checkpoints a previous engine version wrote, must recompute
+        rather than serve stale stages)."""
+        from e2e_el_spark import __version__
+
         blob = json.dumps(asdict(self), sort_keys=True, default=str)
-        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+        return hashlib.sha256(f"{__version__}|{blob}".encode()).hexdigest()[:16]
 
 
 def mention_block_keys(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -195,6 +199,9 @@ def candidate_pairs(
     # --- exact rescore of candidates only: cands ⋈ surface vectors ⋈ entity
     # vectors on (entity_id, gram), hash-agg the products. Cost is
     # |cands| × grams-per-surface — bounded, unlike the all-pairs gram join.
+    # (A map<gram,weight>-per-row dot was tried and is 2-3× SLOWER: Spark map
+    # expressions are array-backed, so element_at is a linear scan — the
+    # in-row dot degenerates to O(|grams|²) string compares per pair.)
     rescored = (
         cands.join(sv, "surface")
         .join(ev.withColumnRenamed("weight", "_ew"), ["entity_id", "gram"])
