@@ -80,7 +80,10 @@ def _cpu_work(n: int) -> int:
 def _ceiling_probe_once() -> tuple[float, float, float]:
     import multiprocessing as mp
 
-    def bench_procs(procs: int, per: int = 800_000) -> float:
+    # per sized for ~4s walls: 1s probes are dominated by scheduler
+    # microbursts on this shared VM (a 3-probe median once measured a
+    # "ceiling" above 1.0 — impossible except under sub-second drift)
+    def bench_procs(procs: int, per: int = 3_000_000) -> float:
         t = time.time()
         with mp.Pool(procs) as p:
             p.map(_cpu_work, [per] * procs)
@@ -204,10 +207,13 @@ def attach_normalized_efficiency(scaling: dict) -> None:
     VM (measured in the same bench run) — the attainable ceiling."""
     eff = scaling.get("scaling_efficiency")
     # the ceiling probe is weak-scaling (per-proc work fixed, procs scale),
-    # so t2/t8 already IS the efficiency: 1.0 = perfect
+    # so t2/t8 already IS the efficiency: 1.0 = perfect. Clamp at 1.0 —
+    # a measured value above 1 is drift, not attainable headroom.
     ceil = (scaling.get("machine_ceiling") or {}).get("cpu_efficiency_2_to_8")
     if eff is not None and ceil:
-        scaling["scaling_efficiency_normalized_to_ceiling"] = round(eff / ceil, 3)
+        scaling["scaling_efficiency_normalized_to_ceiling"] = round(
+            eff / min(ceil, 1.0), 3
+        )
 
 
 def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
@@ -257,6 +263,9 @@ def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
         "size): at bench scale its sub-second tasks cannot use 4× cores, at",
         "100 TB it is a vanishing fraction of the job. The per-stage table",
         "makes that visible instead of hiding it in one blended number.",
+        "",
+        "Curated multi-run evidence + analysis: `BENCH/SCALING_EVIDENCE.md`",
+        "(this file is rewritten per run; that one is not).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

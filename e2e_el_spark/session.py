@@ -45,6 +45,14 @@ def get_spark(
         # AQE sees — 64m coalesces token shuffles to 1-2 tasks and serializes
         # the whole mention stage
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # same reasoning at the SCAN: a few hundred MB of compact document
+        # text explodes 10-100× into tokens/spans/grams downstream; the
+        # 128m default packs the whole stage-checkpoint scan into 1-2 input
+        # splits and the mention stage then runs on 1-2 tasks regardless of
+        # cores (measured: 02_mentions sped up only 1.06× from 2→8 cores).
+        # 16m keeps scans parallel at bench scale; a real cluster reading
+        # 100 TB would leave this at the default.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,90 @@
+"""Structured Streaming surface (SURVEY.md §2.13).
+
+The reference is pure batch — nothing here ports reference behavior. These
+are the streaming entry points a production deployment of the same engine
+needs: incremental page ingestion (micro-batch mention detection through the
+UNCHANGED batch operators via foreachBatch) and watermarked event
+sessionization (the streaming twin of the batch q14 lag-gap cumsum, using
+Spark's native ``session_window`` so late events merge sessions correctly
+up to the watermark).
+
+Design notes (why these shapes):
+- ``detect_mentions`` uses window functions, which streaming DataFrames
+  don't support — ``foreachBatch`` runs the exact batch operator per
+  micro-batch and appends to the sink table. Same code path as batch ⇒ no
+  semantic drift between the backfill job and the incremental job.
+- sessionization is a NATIVE streaming agg (``session_window`` + watermark):
+  state is bounded by the watermark horizon, and out-of-order events within
+  the horizon merge/extend sessions — semantics the batch lag-gap form only
+  gets after a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = "url string, html binary, text string, lang string"
+
+
+def stream_pages(spark: SparkSession, path: str, schema: str = PAGES_SCHEMA) -> DataFrame:
+    """Incremental pages source: one file per micro-batch unit (parquet).
+    An explicit schema is mandatory for streaming reads — no inference job."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_mentions_to(
+    pages_stream: DataFrame,
+    gazetteer: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    max_tokens: int = 4,
+):
+    """pages stream → EXTRACT → gazetteer mention detection → parquet sink.
+
+    foreachBatch applies the UNCHANGED batch operators per micro-batch
+    (window functions aren't streaming-supported, and reusing the batch code
+    keeps incremental output byte-compatible with a backfill). Exactly-once
+    to the sink via the streaming checkpoint + idempotent batch overwrite
+    per epoch is the caller's choice; append is the default here.
+    """
+    from e2e_el_spark.extract import extract_documents
+    from e2e_el_spark.operators.mentions import detect_mentions
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = extract_documents(batch_df)
+        mentions = detect_mentions(docs, gazetteer, max_tokens)
+        mentions.write.mode("append").parquet(out_path)
+
+    return (
+        pages_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked session aggregation: (user, session start/end, n_events).
+
+    Native ``session_window``: sessions close ``gap`` after their last
+    event; events later than ``watermark`` are dropped; state is bounded by
+    the horizon. The streaming counterpart of the batch q14 sessionizer —
+    identical session counts on in-order data."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

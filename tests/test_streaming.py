@@ -1,0 +1,97 @@
+"""§2.13 streaming surface: incremental mention detection equals the batch
+backfill; watermarked session windows match the batch sessionizer on
+in-order data."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from e2e_el_spark.streaming import sessionize_stream, stream_mentions_to, stream_pages
+
+
+def test_stream_mentions_matches_batch_backfill(spark, tmp_path):
+    from e2e_el_spark.extract import extract_documents
+    from e2e_el_spark.operators.mentions import detect_mentions
+    from e2e_el_spark.synth import aliases_df, pages_df
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "mentions_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_df(spark, 40, n_entities=30, seed=3, partitions=4)
+    pages.write.parquet(src)
+    gaz = aliases_df(spark, 30, seed=3)
+
+    q = stream_mentions_to(
+        stream_pages(spark, src).select("url", "html", "text", "lang"),
+        gaz, out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.mention_id, r.gazetteer_entity_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.mention_id, r.gazetteer_entity_id)
+        for r in detect_mentions(extract_documents(pages), gaz).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # incremental restart: nothing new to process → no duplicate appends
+    q2 = stream_mentions_to(
+        stream_pages(spark, src).select("url", "html", "text", "lang"),
+        gaz, out, ckpt,
+    )
+    q2.awaitTermination(60)
+    time.sleep(1)
+    assert spark.read.parquet(out).count() == len(want)
+
+
+def test_sessionize_stream_matches_batch_on_in_order_events(spark, tmp_path):
+    """Append-mode sessions emit only once the WATERMARK passes their end —
+    so run two checkpointed availableNow passes: pass 1 ingests the real
+    events (advancing the watermark at its end), pass 2 ingests one
+    far-future event whose arrival flushes every closed session."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(minutes=10)),   # same session
+        ("u1", base + dt.timedelta(minutes=55)),   # gap > 30m → new session
+        ("u2", base),
+    ]
+    os.makedirs(src)
+    spark.createDataFrame(rows, "user_id string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+        sess = sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # watermark-flush event, hours later; its own session stays pending
+    spark.createDataFrame(
+        [("u3", base + dt.timedelta(hours=10))], "user_id string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).filter(F.col("user_id") != "u3")
+    by_user = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in got.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+        ).collect()
+    }
+    assert by_user == {"u1": (2, 3), "u2": (1, 1)}
