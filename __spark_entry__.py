@@ -683,6 +683,18 @@ def q41_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q42_ivf_ann(spark, sf_dir):
+    """IVF ANN scale path (distributed FAISS-IVF shape,
+    utils_FullTransformer.py:252-312 is the flat baseline): deterministic
+    seeded centroids + 1 Lloyd round + probe-2-of-8 inverted lists, exact
+    cosine within probed lists. Hash-seeded init → rows-only check."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    out = S.ivf_topk(c, q, k=5, n_centroids=8, n_probe=2, kmeans_iters=1)
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -726,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_greedy_segmentation": q39_greedy_segmentation,
         "q40_rerank_cross": q40_rerank_cross,
         "q41_embedding_near_dups": q41_embedding_near_dups,
+        "q42_ivf_ann": q42_ivf_ann,
     }
 
 

@@ -64,6 +64,62 @@ def stream_mentions_to(
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    shards: int = 32,
+) -> DataFrame:
+    """Cross-batch exact dedup as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): emit a document only the first time its
+    text is seen across the whole stream's lifetime.
+
+    State layout: documents shard by ``pmod(xxhash64(text), shards)`` —
+    duplicates always land in the same shard — and each shard's state is its
+    set of seen 64-bit content hashes (ARRAY<LONG>, Arrow-serialized between
+    micro-batches). Batch rows are filtered against the set, newly seen
+    hashes are appended, and only first-occurrence rows are emitted
+    (streaming twin of ``dedup.exact_dedup``'s first-wins semantics).
+
+    State is unbounded by design here (exact lifetime dedup); a production
+    deployment bounds it with a state TTL (GroupStateTimeout) or rotates the
+    checkpoint — noted, not hidden.
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = docs.schema
+    cols = [f.name for f in docs.schema.fields]
+    state_schema = "seen array<long>"
+
+    def _h(t: str) -> int:
+        d = hashlib.blake2b((t or "").encode(), digest_size=8).digest()
+        return int.from_bytes(d, "big") - (1 << 63)
+
+    def fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep = []
+            for t in pdf[text_col]:
+                h = _h(t)
+                if h in seen:
+                    keep.append(False)
+                else:
+                    seen.add(h)
+                    keep.append(True)
+            out = pdf.loc[keep, cols]
+            if len(out):
+                yield out
+        state.update((sorted(seen),))
+
+    keyed = docs.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(text_col)), F.lit(shards))
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

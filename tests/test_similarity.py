@@ -55,3 +55,61 @@ def test_lsh_deterministic(spark, vecs):
     r1 = sorted(map(tuple, lsh_topk(c, q, k=3).collect()))
     r2 = sorted(map(tuple, lsh_topk(c, q, k=3).collect()))
     assert r1 == r2
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark):
+    """n_probe = n_centroids ⇒ every list probed ⇒ results == brute force."""
+    import random
+
+    from e2e_el_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    c = df.filter("vec_id >= 5")
+    exact = {(r.query_id, r.rank): r.vec_id for r in brute_force_topk(c, q, k=5).collect()}
+    ivf = {(r.query_id, r.rank): r.vec_id for r in ivf_topk(
+        c, q, k=5, n_centroids=4, n_probe=4, kmeans_iters=1
+    ).collect()}
+    assert ivf == exact
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """Clustered corpus: each query's true nearest neighbors live in its own
+    cluster, which maps to one inverted list — n_probe=2 of 8 lists must
+    still find them (the IVF bet)."""
+    import random
+
+    from e2e_el_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(4)
+    centers = [[rng.choice([-1.0, 1.0]) for _ in range(8)] for _ in range(5)]
+    rows = []
+    for i in range(200):
+        ctr = centers[i % 5]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in ctr]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    c = df.filter("vec_id >= 5")
+    exact = brute_force_topk(c, q, k=10)
+    approx = ivf_topk(c, q, k=10, n_centroids=8, n_probe=2, kmeans_iters=2)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_topk_deterministic_across_partitioning(spark):
+    import random
+
+    from e2e_el_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(2)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4")
+    c = df.filter("vec_id >= 4")
+    a = sorted(map(tuple, ivf_topk(c.repartition(1), q, k=5, n_centroids=6, n_probe=3).collect()))
+    b = sorted(map(tuple, ivf_topk(c.repartition(7), q, k=5, n_centroids=6, n_probe=3).collect()))
+    assert a == b

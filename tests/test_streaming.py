@@ -95,3 +95,42 @@ def test_sessionize_stream_matches_batch_on_in_order_events(spark, tmp_path):
         ).collect()
     }
     assert by_user == {"u1": (2, 3), "u2": (1, 1)}
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """applyInPandasWithState lifetime dedup: duplicates arriving in LATER
+    micro-batches (even across restarts) are dropped; first occurrences
+    survive with their payload intact."""
+    import os
+
+    from e2e_el_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream_dedup_exact(stream).writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first in ({1, 2}, {2, 3})  # one alpha survives + beta
+    # second wave: a repeat from batch 1 and one brand-new doc
+    spark.createDataFrame(
+        [(4, "alpha text"), (5, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == first | {5}  # 4 deduped vs batch-1 state
+    assert sorted({r.text for r in rows}) == ["alpha text", "beta text", "gamma text"]
