@@ -202,9 +202,14 @@ def candidate_pairs(
     # (A map<gram,weight>-per-row dot was tried and is 2-3× SLOWER: Spark map
     # expressions are array-backed, so element_at is a linear scan — the
     # in-row dot degenerates to O(|grams|²) string compares per pair.)
+    # Surface grams that appear in NO entity vector contribute 0 to every
+    # dot — a broadcast semi-join drops them map-side BEFORE the wide
+    # cands⋈sv intermediate exists; the ev side itself broadcasts (the KB
+    # dimension), so the only shuffle left is the partial-agg groupBy.
+    sv_r = sv.join(F.broadcast(ev.select("gram").distinct()), "gram", "left_semi")
     rescored = (
-        cands.join(sv, "surface")
-        .join(ev.withColumnRenamed("weight", "_ew"), ["entity_id", "gram"])
+        cands.join(sv_r, "surface")
+        .join(F.broadcast(ev.withColumnRenamed("weight", "_ew")), ["entity_id", "gram"])
         .groupBy("surface", "entity_id")
         .agg(F.sum(F.col("weight") * F.col("_ew")).alias("tfidf_cos"))
     )
