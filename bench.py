@@ -135,6 +135,7 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
     import statistics
 
     walls: dict[int, list[float]] = {c: [] for c in levels}
+    stage_mins: dict[int, dict[str, float]] = {c: {} for c in levels}
     last: dict[int, dict] = {}
     ceiling_samples: list[tuple[float, float, float]] = []
     for t in range(trials):
@@ -147,6 +148,12 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
             if "best_wall_s" in r:
                 walls[cpus].append(r["best_wall_s"])
                 last[cpus] = r
+                # best-of-trials PER STAGE (each worker process is one
+                # trial; taking the last trial's table would report
+                # whichever noise window it landed in)
+                for s, w in (r.get("stage_walls_s") or {}).items():
+                    prev = stage_mins[cpus].get(s)
+                    stage_mins[cpus][s] = w if prev is None else min(prev, w)
     results: dict = {}
     for cpus in levels:
         if not walls[cpus]:
@@ -158,6 +165,7 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
             "walls_s": walls[cpus],
             "median_wall_s": round(med, 2),
             "pages_per_sec": round(pages / med, 1),
+            "stage_walls_s": dict(sorted(stage_mins[cpus].items())),
         }
     lo, hi = f"n{levels[0]}", f"n{levels[-1]}"
     if "median_wall_s" in results.get(lo, {}) and "median_wall_s" in results.get(hi, {}):
@@ -281,7 +289,10 @@ def main() -> None:
     scaling: dict = {}
     if os.environ.get("EL_SKIP_SCALING") != "1":
         levels = [int(x) for x in os.environ.get("EL_SCALING_LEVELS", "2,8").split(",")]
-        pages = int(os.environ.get("EL_BENCH_PAGES", "60000"))
+        # default sized so the per-round driver bench stays under ~10 min
+        # (2 ABBA trials at 30k pages); the 60k-page 3-trial campaign is
+        # committed in BENCH/SCALING_EVIDENCE.md
+        pages = int(os.environ.get("EL_BENCH_PAGES", "30000"))
         mult = int(os.environ.get("EL_BENCH_MULT", "8"))
         ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
         trials = int(os.environ.get("EL_BENCH_TRIALS", "2"))

@@ -43,12 +43,19 @@ def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
         .orderBy("line")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # both line-level running sums share ONE window pass: char offset of the
+    # line, and how many tokens precede it (split on ' ' yields
+    # n_spaces + 1 tokens per line) — the global token index then needs no
+    # per-token row_number sort, just lpos + the line's token offset
     lines = lines.withColumn(
         "_line_start",
         F.coalesce(F.sum(F.length("_line_text") + F.lit(1)).over(lw), F.lit(0)),
+    ).withColumn(
+        "_tok_start",
+        F.coalesce(F.sum(F.size(F.split("_line_text", " "))).over(lw), F.lit(0)),
     )
     toks = lines.select(
-        "document_id", "line", "_line_start",
+        "document_id", "line", "_line_start", "_tok_start",
         F.posexplode(F.split("_line_text", " ")).alias("lpos", "token"),
     )
     tw = (
@@ -63,10 +70,9 @@ def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
             + F.coalesce(F.sum(F.length("token") + F.lit(1)).over(tw), F.lit(0))
         ).cast("int"),
     ).withColumn("end", (F.col("start") + F.length("token")).cast("int"))
-    pw = Window.partitionBy("document_id").orderBy("line", "lpos")
     return toks.select(
         "document_id",
-        (F.row_number().over(pw) - 1).alias("pos"),
+        (F.col("_tok_start") + F.col("lpos")).cast("int").alias("pos"),
         "line",
         "lpos",
         "token",
