@@ -65,6 +65,23 @@ def test_vocab_topk_is_distributed(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_candidate_rescore_broadcasts_kb_vectors(spark):
+    """The exact-rescore join's entity-vector side (the KB dimension) must
+    be a BroadcastHashJoin — a sort-merge join there would shuffle the wide
+    cands × grams intermediate on (entity_id, gram)."""
+    from e2e_el_spark.pipeline import PipelineConfig, candidate_pairs
+    from e2e_el_spark.synth import aliases_df, entities_df
+
+    ents = entities_df(spark, 30, seed=5)
+    mentions = aliases_df(spark, 30, seed=5).select(
+        F.concat_ws("#", "entity_id", "alias").alias("mention_id"),
+        F.col("alias").alias("text"),
+    )
+    out = candidate_pairs(mentions, ents, PipelineConfig(vocab_size=500))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_aggregation_uses_whole_stage_codegen_and_partial_agg(spark, tmp_path):
     p = str(tmp_path / "agg")
     spark.range(1000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v")).write.parquet(p)

@@ -97,3 +97,29 @@ def test_single_segment_doc_keeps_suffix_id(spark):
     segs = segment_documents(docs, budget=100).collect()
     assert len(segs) == 1 and segs[0].segment_id == "d9_1"
     assert segs[0].text == "short text"
+
+
+def test_pack_property_random_texts():
+    """Property: for ANY text and budget, packing reassembles byte-identically
+    and no segment with an internal sentence break exceeds the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("ab .\nxy"))
+    texts = st.text(alphabet=alphabet, min_size=0, max_size=200)
+
+    from e2e_el_spark.operators.segmentation import _split_sentences
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts, st.integers(min_value=1, max_value=50))
+    def check(text, budget):
+        for seps in ((". ",), (". ", "\n")):
+            segs = _pack_segments(text, budget, seps)
+            assert "".join(segs) == text  # byte-identical reassembly, always
+            # greedy maximality: the split happened because the NEXT
+            # segment's first sentence would not have fit
+            for a, b in zip(segs, segs[1:]):
+                first_next = _split_sentences(b, seps)[0]
+                assert len(a) + len(first_next) > budget, (a, b, budget)
+
+    check()
