@@ -78,6 +78,14 @@ class StageRunner:
                 f"[lineage] stage {stage}: checkpoint fingerprint "
                 f"{stored!r} != current {self.fingerprint!r} — recomputing"
             )
+            # drop the stale marker BEFORE recomputing: a kill mid-recompute
+            # must not leave an old marker that a rerun under the original
+            # config would mistake for a complete stage (resuming from
+            # partially overwritten parquet)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
         t0 = time.monotonic()
         df = fn()
         df.write.mode("overwrite").parquet(data_path)
@@ -99,14 +107,21 @@ class StageRunner:
 
     def _record_lineage(self, stage: str, df: DataFrame, wall_ms: int) -> None:
         """Per-partition row counters from the just-written parquet FOOTERS —
-        pyarrow metadata reads on the driver, zero Spark jobs (the previous
-        groupBy(spark_partition_id) re-scanned every stage output: 6 extra
-        jobs of pure serial floor per pipeline run)."""
+        pyarrow metadata reads AND the lineage append both happen driver-side
+        (zero Spark jobs: the previous createDataFrame().write per stage was
+        one small scheduled job of pure serial floor per stage). For a
+        non-local workdir (hdfs://, s3a://) the local glob sees nothing — we
+        fall back to a Spark-side per-partition count + append rather than
+        silently recording rows_out=0."""
+        import datetime
         import glob as _glob
+        import uuid
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         data_path = os.path.join(self.workdir, stage, "data")
+        lineage_dir = os.path.join(self.workdir, "_lineage")
         rows = []
         for pid, part in enumerate(sorted(_glob.glob(os.path.join(data_path, "part-*")))):
             try:
@@ -114,12 +129,45 @@ class StageRunner:
             except Exception:
                 continue
             rows.append((stage, pid, n, wall_ms))
-        if not rows:
-            rows = [(stage, 0, 0, wall_ms)]
-        lin = self.spark.createDataFrame(
-            rows, "stage string, partition_id int, rows_out bigint, wall_ms long"
-        ).select("*", F.current_timestamp().alias("ts"))
-        lin.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+        if rows:
+            os.makedirs(lineage_dir, exist_ok=True)
+            ts = datetime.datetime.now(datetime.timezone.utc)
+            schema = pa.schema([
+                pa.field("stage", pa.string()),
+                pa.field("partition_id", pa.int32()),
+                pa.field("rows_out", pa.int64()),
+                pa.field("wall_ms", pa.int64()),
+                # tz-aware so the type matches Spark's TimestampType and the
+                # directory stays one-schema even if an older engine version
+                # appended via current_timestamp()
+                pa.field("ts", pa.timestamp("us", tz="UTC")),
+            ])
+            table = pa.table(
+                {
+                    "stage": [r[0] for r in rows],
+                    "partition_id": pa.array([r[1] for r in rows], pa.int32()),
+                    "rows_out": pa.array([r[2] for r in rows], pa.int64()),
+                    "wall_ms": pa.array([r[3] for r in rows], pa.int64()),
+                    "ts": pa.array([ts] * len(rows), pa.timestamp("us", tz="UTC")),
+                },
+                schema=schema,
+            )
+            pq.write_table(
+                table, os.path.join(lineage_dir, f"part-{stage}-{uuid.uuid4().hex}.parquet")
+            )
+            return
+        lin = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col("partition_id"),
+                F.col("rows_out"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        lin.write.mode("append").parquet(lineage_dir)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "_lineage"))

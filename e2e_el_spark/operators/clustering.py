@@ -80,19 +80,30 @@ def connected_components(
     component = the minimum node id reachable from ``node``. Deterministic:
     pure function of the edge set.
     """
+    from pyspark.sql import Observation
+
+    sig_metrics = lambda: (  # noqa: E731 — tiny metric-column factory
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    )
     cur = _canonical(edges)
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
     prev_sig = None
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         cur = _small_star(_large_star(cur))
         if checkpoint:
-            cur = cur.localCheckpoint(eager=True)
-        sig_row = cur.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
+            # fold the convergence signature into the checkpoint
+            # materialization via an observed metric: ONE Spark job per
+            # fixpoint round instead of two (the separate agg/collect probe
+            # was half the driver round-trips of the whole CC stage)
+            obs = Observation(f"cc_sig_{i}")
+            cur = cur.observe(obs, *sig_metrics()).localCheckpoint(eager=True)
+            row = obs.get
+            sig = (row["n"], row["h"])
+        else:
+            sig_row = cur.agg(*sig_metrics()).collect()[0]
+            sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
             break
         prev_sig = sig
