@@ -10,6 +10,6 @@ components — all expressed as Spark DataFrame transforms plus Arrow-batched
 pandas UDFs (never per-row Python UDFs).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from e2e_el_spark.session import get_spark  # noqa: F401

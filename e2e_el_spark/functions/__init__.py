@@ -21,6 +21,18 @@ STOPWORDS = [
 ]
 
 
+_metric_counter = __import__("itertools").count()
+
+
+def unique_metric_name(prefix: str) -> str:
+    """Process-unique observed-metric name: Spark raises AnalysisException
+    when two observe nodes in ONE plan share a name, so operators that
+    default-register a named metric (no Observation passed) must suffix it —
+    composing the same operator twice in a query (e.g. unioning two
+    near-dup runs) is legal."""
+    return f"{prefix}#{next(_metric_counter)}"
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace (P1, `/root/reference/candidate_selection.py:106-110`)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -29,6 +29,7 @@ from e2e_el_spark.functions import (
     STOPWORDS,
     char_ngrams_all_expr,
     remove_stopwords_expr,
+    unique_metric_name,
 )
 
 # ---------------------------------------------------------------------------
@@ -343,7 +344,7 @@ def same_block_pairs(
     if observation is not None:
         flagged = flagged.observe(observation, *metrics)
     else:
-        flagged = flagged.observe("same_block_pairs_cap", *metrics)
+        flagged = flagged.observe(unique_metric_name("same_block_pairs_cap"), *metrics)
     capped = flagged.filter(~F.col("_truncated"))
     a = capped.select(F.col(key_col), F.col(id_col).alias("id_a"))
     b = capped.select(F.col(key_col), F.col(id_col).alias("id_b"))

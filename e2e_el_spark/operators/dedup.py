@@ -40,12 +40,17 @@ def _text_group_key(text_col: str):
     ]
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, key_fn=None
+) -> DataFrame:
     """Groups of byte-identical texts: (id, group_size, keeper, is_duplicate).
 
     One shuffle on (length, hash1, hash2) — never on the full text bytes.
+    ``key_fn(text_col) -> [Column aliased _len/_h1/_h2]`` is the injectable
+    key seam (forced-collision tests replace one hash with a constant to
+    prove the composite key keeps colliding-but-distinct texts apart).
     """
-    h = df.select(F.col(id_col), *_text_group_key(text_col))
+    h = df.select(F.col(id_col), *(key_fn or _text_group_key)(text_col))
     keys = ["_len", "_h1", "_h2"]
     w = Window.partitionBy(*keys)
     wo = Window.partitionBy(*keys).orderBy(id_col)
@@ -61,10 +66,11 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, key_fn=None) -> DataFrame:
     """Keep the min-id row per identical text (deterministic first-wins,
-    the distributed analogue of the reference's dict insert U3)."""
-    w = Window.partitionBy(*_text_group_key(text_col)).orderBy(id_col)
+    the distributed analogue of the reference's dict insert U3).
+    ``key_fn`` is the same injectable key seam as ``exact_duplicates``."""
+    w = Window.partitionBy(*(key_fn or _text_group_key)(text_col)).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -231,7 +237,9 @@ def ngram_jaccard_pairs(
         if observation is not None:
             flagged = flagged.observe(observation, *metrics)
         else:
-            flagged = flagged.observe("ngram_jaccard_df_cap", *metrics)
+            from e2e_el_spark.functions import unique_metric_name
+
+            flagged = flagged.observe(unique_metric_name("ngram_jaccard_df_cap"), *metrics)
         rare = flagged.filter(F.col("_df") <= max_gram_df)
         cand = (
             rare.select(F.col("_id").alias("id_a"), "gram")

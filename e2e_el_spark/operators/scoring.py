@@ -153,7 +153,9 @@ def score_pairs(
     # table repeats every surface ~topk×aliases times, so embedding per pair
     # row would redo the (expensive) hashing that many times over. The
     # distinct sides are far smaller than the pair table; AQE broadcasts the
-    # alias side on its own.
+    # alias side on its own. eqNullSafe keeps the operator null-tolerant
+    # (embed_udf maps None to the empty-string vector; a plain equality join
+    # would silently DROP null-text rows).
     ea = (
         pairs.select(F.col(text_a).alias("_ta")).distinct()
         .withColumn("_ea", embed_udf(F.col("_ta")))
@@ -163,8 +165,8 @@ def score_pairs(
         .withColumn("_eb", embed_udf(F.col("_tb")))
     )
     out = (
-        out.join(ea, F.col(text_a) == F.col("_ta")).drop("_ta")
-        .join(eb, F.col(text_b) == F.col("_tb")).drop("_tb")
+        out.join(ea, F.col(text_a).eqNullSafe(F.col("_ta"))).drop("_ta")
+        .join(eb, F.col(text_b).eqNullSafe(F.col("_tb"))).drop("_tb")
     )
     out = out.withColumn("emb_dot", dot_udf(F.col("_ea"), F.col("_eb"))).drop("_ea", "_eb")
     if tfidf_col is not None and tfidf_col in pairs.columns:

@@ -157,7 +157,9 @@ def rebase_mentions(
     if observation is not None:
         joined = joined.observe(observation, *metrics)
     else:
-        joined = joined.observe("segment_rebase_straddle", *metrics)
+        from e2e_el_spark.functions import unique_metric_name
+
+        joined = joined.observe(unique_metric_name("segment_rebase_straddle"), *metrics)
     contained = joined.filter(F.col("segment_id").isNotNull())
     w = Window.partitionBy("segment_id").orderBy("start_index", "end_index")
     passthrough = [

@@ -64,10 +64,63 @@ def stream_mentions_to(
     )
 
 
+def stream_links_to(
+    pages_stream: DataFrame,
+    entities: DataFrame,
+    gazetteer: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    cfg=None,
+    kb=None,
+):
+    """pages stream → full EXTRACT → MENTIONS → PAIRS → SCORE → LINK per
+    micro-batch (the incremental form of the whole linking pipeline, not just
+    mention detection).
+
+    Per-micro-batch links are IDENTICAL to a batch backfill over the union of
+    the batches: every per-mention signal is a pure function of (surface, KB)
+    — the KB-only vocabulary (``pipeline._kb_vocab``) removed the last
+    corpus-level dependency (corpus IDF), so scoring cannot see batch
+    composition. foreachBatch reuses the unchanged batch operators; pass
+    precomputed ``kb`` artifacts (``pipeline.build_kb_artifacts``) so each
+    micro-batch plan starts from the parquet artifacts instead of re-deriving
+    the KB side per epoch.
+    """
+    from e2e_el_spark.extract import extract_documents
+    from e2e_el_spark.operators.mentions import detect_mentions
+    from e2e_el_spark.pipeline import (
+        PipelineConfig,
+        candidate_pairs,
+        kb_frames,
+        link_top1,
+        mention_links,
+        score_candidates,
+    )
+
+    cfg = cfg or PipelineConfig()
+    kb_art = kb if kb is not None else kb_frames(entities, cfg)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = extract_documents(batch_df)
+        mentions = detect_mentions(docs, gazetteer, cfg.max_mention_tokens)
+        cands = candidate_pairs(mentions, entities, cfg, kb=kb_art)
+        scored = score_candidates(cands, mentions, entities, cfg, gazetteer)
+        links = mention_links(link_top1(scored, cfg.link_threshold), mentions)
+        links.write.mode("append").parquet(out_path)
+
+    return (
+        pages_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_exact(
     docs: DataFrame,
     text_col: str = "text",
     shards: int = 32,
+    hash_fns=None,
 ) -> DataFrame:
     """Cross-batch exact dedup as a CUSTOM STATEFUL operator
     (``applyInPandasWithState``): emit a document only the first time its
@@ -75,37 +128,54 @@ def stream_dedup_exact(
 
     State layout: documents shard by ``pmod(xxhash64(text), shards)`` —
     duplicates always land in the same shard — and each shard's state is its
-    set of seen 64-bit content hashes (ARRAY<LONG>, Arrow-serialized between
-    micro-batches). Batch rows are filtered against the set, newly seen
-    hashes are appended, and only first-occurrence rows are emitted
-    (streaming twin of ``dedup.exact_dedup``'s first-wins semantics).
+    set of seen COMPOSITE keys packed as 24-byte binaries: (length, hash1,
+    hash2) with two independent 64-bit hashes, the same collision-safety
+    contract as batch ``dedup._text_group_key`` (a single 64-bit hash
+    silently false-drops distinct documents past the ~4·10⁹-doc birthday
+    bound; ~128 bits of key pushes that beyond 10¹⁵). Batch rows are
+    filtered against the set, newly seen keys are appended, and only
+    first-occurrence rows are emitted (streaming twin of
+    ``dedup.exact_dedup``'s first-wins semantics).
+
+    ``hash_fns`` is an injectable pair of ``text -> int64`` functions — the
+    testing seam that lets a forced-collision test prove two distinct texts
+    sharing hash1 both survive. Default: salted blake2b pair.
 
     State is unbounded by design here (exact lifetime dedup); a production
     deployment bounds it with a state TTL (GroupStateTimeout) or rotates the
     checkpoint — noted, not hidden.
     """
     import hashlib
+    import struct
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = docs.schema
     cols = [f.name for f in docs.schema.fields]
-    state_schema = "seen array<long>"
+    state_schema = "seen array<binary>"
 
-    def _h(t: str) -> int:
-        d = hashlib.blake2b((t or "").encode(), digest_size=8).digest()
-        return int.from_bytes(d, "big") - (1 << 63)
+    def _salted(salt: bytes):
+        def h(t: str) -> int:
+            d = hashlib.blake2b(salt + (t or "").encode(), digest_size=8).digest()
+            return int.from_bytes(d, "big") - (1 << 63)
+
+        return h
+
+    h1, h2 = hash_fns or (_salted(b""), _salted(b"dedup-seed-2"))
+
+    def _key(t: str) -> bytes:
+        return struct.pack(">qqq", len(t or ""), h1(t), h2(t))
 
     def fn(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
+        seen = {bytes(b) for b in state.get[0]} if state.exists else set()
         for pdf in pdfs:
             keep = []
             for t in pdf[text_col]:
-                h = _h(t)
-                if h in seen:
+                k = _key(t)
+                if k in seen:
                     keep.append(False)
                 else:
-                    seen.add(h)
+                    seen.add(k)
                     keep.append(True)
             out = pdf.loc[keep, cols]
             if len(out):

@@ -156,3 +156,31 @@ def test_embedding_near_duplicates(spark):
     ).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(3 not in p for p in pairs)
+
+
+def test_exact_dedup_composite_key_survives_forced_collision(spark):
+    """Inject a constant in place of hash1: two distinct texts now collide on
+    (part of) the key, and ONLY the independent second hash + length keep
+    them apart — adversarial proof of the multi-key design, not just the
+    birthday-bound argument."""
+    from pyspark.sql import functions as F
+
+    from e2e_el_spark.operators.dedup import exact_dedup, exact_duplicates
+
+    def collide_h1(text_col):
+        return [
+            F.length(F.col(text_col)).alias("_len"),
+            F.lit(0).cast("long").alias("_h1"),  # forced collision everywhere
+            F.xxhash64(F.lit("dedup-seed-2"), F.col(text_col)).alias("_h2"),
+        ]
+
+    # same LENGTH too, so only _h2 separates them
+    df = spark.createDataFrame(
+        [(1, "alpha one"), (2, "bravo two"), (3, "alpha one")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df, "doc_id", "text", key_fn=collide_h1).collect())
+    assert kept == [1, 2]  # distinct texts both kept; true dup dropped
+    groups = {r.doc_id: r.is_duplicate for r in
+              exact_duplicates(df, "doc_id", "text", key_fn=collide_h1).collect()}
+    assert groups == {1: False, 2: False, 3: True}

@@ -120,3 +120,18 @@ def test_rerank_cross_deterministic_and_custom_scorer(spark):
 
     out = rerank_cross(pairs, k=1, scorer_factory=length_scorer_factory).collect()
     assert len(out) == 1 and out[0].entity_id == "E5"  # longest candidate wins
+
+
+def test_score_pairs_keeps_null_text_rows(spark):
+    """The embed-per-distinct-string join must not silently drop rows whose
+    text is NULL (eqNullSafe join; embed_udf maps None to the ''-vector)."""
+    from e2e_el_spark.operators.scoring import score_pairs
+
+    pairs = spark.createDataFrame(
+        [("a", "alpha", "alpha"), ("b", None, "beta"), ("c", "gamma", None)],
+        "pid string, text_a string, text_b string",
+    )
+    out = score_pairs(pairs, "text_a", "text_b", tfidf_col=None)
+    rows = {r.pid: r for r in out.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all(r.score is not None for r in rows.values())

@@ -134,3 +134,94 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r.doc_id for r in rows} == first | {5}  # 4 deduped vs batch-1 state
     assert sorted({r.text for r in rows}) == ["alpha text", "beta text", "gamma text"]
+
+
+def test_stream_dedup_composite_key_survives_forced_collision(spark, tmp_path):
+    """Two DISTINCT texts engineered to share hash1 (injected constant) must
+    BOTH survive — the (length, h1, h2) composite key, not any single 64-bit
+    hash, is the equality proxy (mirrors batch dedup._text_group_key; the
+    round-2 batch hardening now holds for the streaming twin too)."""
+    import os
+
+    from e2e_el_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "fc_in")
+    out = str(tmp_path / "fc_out")
+    ckpt = str(tmp_path / "fc_ckpt")
+    os.makedirs(src)
+
+    def h2(t):
+        return hash(t) % (1 << 62)  # process-stable within one test run
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream_dedup_exact(stream, shards=1, hash_fns=(lambda t: 0, h2))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # 'collide!' vs 'clash!!!': same length not required — key also carries
+    # length; h1 is the SAME constant 0 for all rows (worst case)
+    spark.createDataFrame(
+        [(1, "collide!"), (2, "clash!!!"), (3, "collide!")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["clash!!!", "collide!"], texts  # both distinct survive
+    assert len(rows) == 2  # the true duplicate (doc 3 or 1) was dropped
+
+
+def test_stream_links_parity_with_batch_backfill(spark, tmp_path):
+    """Full incremental score+link via foreachBatch over a 2-micro-batch
+    stream == the batch backfill over the union, byte-for-byte: every signal
+    is a pure function of (surface, KB) since the KB-only vocabulary removed
+    corpus-level IDF (pipeline._kb_vocab docstring)."""
+    import os
+
+    from e2e_el_spark.extract import extract_documents
+    from e2e_el_spark.operators.mentions import detect_mentions
+    from e2e_el_spark.pipeline import (
+        PipelineConfig, candidate_pairs, kb_frames, link_top1, mention_links,
+        score_candidates,
+    )
+    from e2e_el_spark.streaming import stream_links_to, stream_pages
+    from e2e_el_spark.synth import aliases_df, entities_df, pages_df
+
+    src = str(tmp_path / "pl_in")
+    out = str(tmp_path / "pl_out")
+    ckpt = str(tmp_path / "pl_ckpt")
+    os.makedirs(src)
+    cfg = PipelineConfig()
+    ents = entities_df(spark, 30, seed=3)
+    gaz = aliases_df(spark, 30, seed=3)
+    pages = pages_df(spark, 30, n_entities=30, seed=3, partitions=2)
+
+    # two waves → two checkpointed availableNow passes (two micro-batch epochs)
+    wave1 = pages.filter(F.col("url") < "https://example.org/page/00015")
+    wave2 = pages.subtract(wave1)
+    for wave in (wave1, wave2):
+        wave.coalesce(1).write.mode("append").parquet(src)
+        q = stream_links_to(
+            stream_pages(spark, src).select("url", "html", "text", "lang"),
+            ents, gaz, out, ckpt, cfg,
+        )
+        q.awaitTermination(180)
+
+    got = sorted(
+        (r.mention_id, r.entity_id, round(r.score, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    docs = extract_documents(pages)
+    mentions = detect_mentions(docs, gaz, cfg.max_mention_tokens)
+    cands = candidate_pairs(mentions, ents, cfg, kb=kb_frames(ents, cfg))
+    scored = score_candidates(cands, mentions, ents, cfg, gaz)
+    want = sorted(
+        (r.mention_id, r.entity_id, round(r.score, 9))
+        for r in mention_links(link_top1(scored, cfg.link_threshold), mentions).collect()
+    )
+    assert len(got) > 0 and got == want
