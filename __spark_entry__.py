@@ -493,7 +493,7 @@ def q32_lsh_ann(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     c = e.filter(F.col("vec_id") >= 10)
-    out = S.lsh_topk(c, q, k=5, n_planes=4, n_tables=4)
+    out = S.lsh_topk(c, q, k=5, n_planes=4, n_tables=4, dim=64)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
 
@@ -501,10 +501,12 @@ def q33_media_features(spark, sf_dir):
     """multimodal: binary payload column → mapInPandas feature extraction
     through the REAL raster decode (valid binary-PPM payloads are built
     JVM-side from doc bytes: header + 4x4 RGB pixel block; decode_image
-    parses them in pure numpy — no fake path)."""
+    parses them in pure numpy — no fake path). Deterministic doc selection
+    (doc_id < 200, not LIMIT) + sha256 digests make this ORACLE-checkable:
+    DuckDB rebuilds the identical payload bytes and hashes them."""
     from e2e_el_spark.operators.multimodal import extract_features
 
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -517,7 +519,7 @@ def q33_media_features(spark, sf_dir):
         F.lit(0).alias("duration_ms"),
     )
     feats = extract_features(media, dim=16, fake=False)
-    return feats.select("media_id", "n_bytes", "sha1")
+    return feats.select("media_id", "n_bytes", "sha256")
 
 
 def q34_el_clusters(spark, sf_dir):
@@ -580,9 +582,10 @@ def q36_span_prf(spark, sf_dir):
 
 
 def q37_random_negatives(spark, sf_dir):
-    """C3/J6 seeded negative sampling (xxhash64 ranking — rows-only):
-    3 negatives per order from the 25-nation 'KB' minus the order's own
-    nation-of-customer."""
+    """C3/J6 seeded negative sampling: 3 negatives per order from the
+    25-nation 'KB' minus the order's own nation-of-customer. The sample
+    ranks by md5('{seed}:{mention}:{entity}') — a pure seeded function both
+    Spark and DuckDB compute identically, so this is ORACLE-checked."""
     from e2e_el_spark.operators.candidates import random_negatives
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
@@ -678,7 +681,8 @@ def q41_embedding_near_dups(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     out = D.embedding_near_duplicates(
-        e.unionByName(dup), "vec_id", "embedding", cosine_threshold=0.95, n_planes=6
+        e.unionByName(dup), "vec_id", "embedding", cosine_threshold=0.95, n_planes=6,
+        dim=64,
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -693,6 +697,44 @@ def q42_ivf_ann(spark, sf_dir):
     c = e.filter(F.col("vec_id") >= 10)
     out = S.ivf_topk(c, q, k=5, n_centroids=8, n_probe=2, kmeans_iters=1)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+def q43_mention_rebase(spark, sf_dir):
+    """W1 mention offset rebase (CollectiveEL_data_formatter.py:145-148):
+    segment the docs (as q39), then re-base two fixed-offset mentions per doc
+    ([10,20) and [25,30) in corpus coordinates) into their containing
+    segments — mention_id = '{segment_id}_{i}' (1-based rank by start within
+    the segment), offsets relative to the segment; boundary-straddling
+    mentions drop (observable). The containment join + row_number is plain
+    SQL, so DuckDB replays it over the recursive-CTE segments → hard oracle."""
+    from e2e_el_spark.operators.segmentation import rebase_mentions, segment_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.expr("replace(text, ' table', '. table')").alias("text"),
+    )
+    segs = segment_documents(d, budget=150, separators=(". ",))
+    m = d.filter(F.length("text") >= 30).select(
+        F.concat(F.col("document_id"), F.lit("#m1")).alias("mention_id"),
+        "document_id",
+        F.lit(10).alias("start_index"), F.lit(20).alias("end_index"),
+        F.expr("substr(text, 11, 10)").alias("text"),
+    ).unionByName(
+        d.filter(F.length("text") >= 30).select(
+            F.concat(F.col("document_id"), F.lit("#m2")).alias("mention_id"),
+            "document_id",
+            F.lit(25).alias("start_index"), F.lit(30).alias("end_index"),
+            F.expr("substr(text, 26, 5)").alias("text"),
+        )
+    )
+    rb = rebase_mentions(m, segs)
+    return rb.select(
+        "mention_id",
+        F.col("document_id").alias("segment_id"),
+        "start_index", "end_index",
+        F.col("orig_document_id").alias("doc_id"),
+        F.col("orig_start_index").alias("orig_start"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -739,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_rerank_cross": q40_rerank_cross,
         "q41_embedding_near_dups": q41_embedding_near_dups,
         "q42_ivf_ann": q42_ivf_ann,
+        "q43_mention_rebase": q43_mention_rebase,
     }
 
 
@@ -1119,7 +1162,90 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_end
             FROM seglen
         """,
-        # q30-q34, q37, q40: hash-seeded MinHash/SimHash/LSH/negative
-        # sampling, pandas-UDF pipelines (incl. the cross-encoder rerank
+        # the multimodal features run through the REAL decode, but the
+        # payload build and the digests are deterministic byte functions —
+        # DuckDB rebuilds the identical bytes and hashes them
+        "q33_media_features": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(octet_length(encode(e'P6\n4 4\n255\n'
+                        || rpad(substr(text, 1, 48), 48, 'x'))) AS BIGINT) AS n_bytes,
+                   sha256(e'P6\n4 4\n255\n'
+                        || rpad(substr(text, 1, 48), 48, 'x')) AS sha256
+            FROM documents WHERE doc_id < 200
+        """,
+        # the seeded sample is a pure md5 rank — replayable in ANSI SQL
+        "q37_random_negatives": """
+            WITH pos AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS mention_id,
+                     CAST(c_nationkey AS VARCHAR) AS label_candidate_id
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey < 100),
+            ents AS (SELECT CAST(n_nationkey AS VARCHAR) AS entity_id FROM nation),
+            paired AS (
+              SELECT mention_id, entity_id FROM pos CROSS JOIN ents
+              WHERE entity_id <> label_candidate_id),
+            ranked AS (
+              SELECT mention_id, entity_id,
+                     row_number() OVER (PARTITION BY mention_id
+                         ORDER BY md5('42:' || mention_id || ':' || entity_id),
+                                  entity_id) AS rn
+              FROM paired)
+            SELECT mention_id, entity_id FROM ranked WHERE rn <= 3
+        """,
+        # q43: the q39 recursive-CTE segments + a plain containment join +
+        # row_number replay the mention rebase exactly
+        "q43_mention_rebase": """
+            WITH RECURSIVE t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     replace(text, ' table', '. table') AS tx
+              FROM documents),
+            tt AS (SELECT doc_id, string_split(tx, '. ') AS ps FROM t),
+            parts AS (
+              SELECT doc_id, i.i AS idx,
+                     length(list_extract(ps, i.i))
+                       + CASE WHEN i.i < len(ps) THEN 2 ELSE 0 END AS slen
+              FROM tt, UNNEST(range(1, len(ps) + 1)) AS i(i)),
+            walk AS (
+              SELECT doc_id, idx, slen, 1 AS seg, slen AS cur
+              FROM parts WHERE idx = 1
+              UNION ALL
+              SELECT p.doc_id, p.idx, p.slen,
+                     CASE WHEN w.cur + p.slen > 150 THEN w.seg + 1 ELSE w.seg END,
+                     CASE WHEN w.cur + p.slen > 150 THEN p.slen ELSE w.cur + p.slen END
+              FROM walk w JOIN parts p ON p.doc_id = w.doc_id AND p.idx = w.idx + 1),
+            seglen AS (
+              SELECT doc_id, seg AS seg_index, sum(slen) AS seg_len
+              FROM walk GROUP BY doc_id, seg),
+            segs AS (
+              SELECT doc_id, seg_index, cum - seg_len AS seg_start, cum AS seg_end
+              FROM (SELECT doc_id, seg_index, seg_len,
+                           sum(seg_len) OVER (PARTITION BY doc_id ORDER BY seg_index
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM seglen)),
+            m AS (
+              SELECT doc_id || '#m1' AS omid, doc_id, 10 AS ms, 20 AS me
+              FROM t WHERE length(tx) >= 30
+              UNION ALL
+              SELECT doc_id || '#m2', doc_id, 25, 30 FROM t WHERE length(tx) >= 30),
+            contained AS (
+              SELECT m.omid, m.doc_id, m.ms, m.me,
+                     s.doc_id || '_' || CAST(s.seg_index AS VARCHAR) AS segment_id,
+                     s.seg_start
+              FROM m JOIN segs s ON s.doc_id = m.doc_id
+                   AND m.ms >= s.seg_start AND m.me <= s.seg_end),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY segment_id
+                            ORDER BY ms, me) AS i
+              FROM contained)
+            SELECT segment_id || '_' || CAST(i AS VARCHAR) AS mention_id,
+                   segment_id,
+                   CAST(ms - seg_start AS INT) AS start_index,
+                   CAST(me - seg_start AS INT) AS end_index,
+                   doc_id,
+                   CAST(ms AS INT) AS orig_start
+            FROM ranked
+        """,
+        # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
+        # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank
         # stand-in) — genuinely non-SQL-expressible; rows-only checks.
     }

@@ -74,15 +74,18 @@ def random_negatives(
     The reference samples fresh negatives per epoch with np.random
     (`/root/reference/utils_E2E_exhaustive.py:334-341`); here the sample is a
     *pure function of (seed, mention_id, entity_id)* — rank entities per
-    mention by xxhash64(seed, mention, entity) and take k — so reruns and
-    resume produce identical negatives (SURVEY.md §4 custom work #3).
-    Cross join with broadcast KB: the KB is the small dimension.
+    mention by ``md5('{seed}:{mention}:{entity}')`` and take k — so reruns
+    and resume produce identical negatives (SURVEY.md §4 custom work #3),
+    and any ANSI-SQL engine (the DuckDB oracle included) reproduces the
+    exact sample. Cross join with broadcast KB: the KB is the small
+    dimension.
     """
     pos = positives.select(F.col(id_col).alias("_mid"), F.col(gold_col).alias("_gold"))
     ents = entities.select(F.col(entity_col).alias("_eid"))
     paired = pos.crossJoin(F.broadcast(ents)).filter(F.col("_eid") != F.col("_gold"))
     w = Window.partitionBy("_mid").orderBy(
-        F.xxhash64(F.lit(seed), F.col("_mid"), F.col("_eid")), F.col("_eid")
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("_mid"), F.col("_eid"))),
+        F.col("_eid"),
     )
     return (
         paired.withColumn("_rn", F.row_number().over(w))

@@ -277,6 +277,7 @@ def ngram_jaccard_pairs(
 def embedding_near_duplicates(
     embeddings: DataFrame, id_col: str, vec_col: str,
     cosine_threshold: float = 0.95, n_planes: int = 8, seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH bucket join + exact
     cosine verify, entirely JVM-side (aggregate/zip_with arithmetic).
@@ -286,8 +287,12 @@ def embedding_near_duplicates(
     exact cosine; ≥ threshold survives. Recall is per-bucket (near-dups with
     opposite signs on some plane are missed) — raise recall by unioning
     several plane-sets (seed+i), the standard multi-table LSH trade.
+
+    Pass ``dim`` to keep plan construction fully lazy (None falls back to a
+    driver-side ``first()`` probe — a Spark job at plan-build time).
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     sign_bits = []
     for p in range(n_planes):
         terms = "+".join(

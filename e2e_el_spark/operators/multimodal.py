@@ -25,7 +25,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id string, kind string, feat array<float>, n_bytes bigint, sha1 string"
+    "media_id string, kind string, feat array<float>, n_bytes bigint, sha256 string"
 )
 
 
@@ -82,15 +82,35 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+def _try_import_pil():
+    """Optional-dependency probe for compressed codecs (JPEG/PNG). Module
+    cached after first probe; None when Pillow is absent (this container)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNSET:
+        try:
+            from PIL import Image as _img  # noqa: PLC0415
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_UNSET = object()
+_PIL_IMAGE = _UNSET
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode image bytes → HxWx3 float32 array.
 
     REAL decode for the self-describing uncompressed formats (binary
     PPM/PGM, uncompressed 24/32-bit BMP) in pure numpy. Compressed codecs
-    (JPEG/PNG) are unavailable in this container: they raise
-    NotImplementedError unless ``fake=True``, which returns a deterministic
-    4x4x3 pseudo-image derived from the byte content (pure function) so
-    downstream plumbing stays testable.
+    (JPEG/PNG/anything else) go through the optional Pillow seam when the
+    library is installed — the fake path is unreachable then. Without
+    Pillow (this container) they raise NotImplementedError unless
+    ``fake=True``, which returns a deterministic 4x4x3 pseudo-image derived
+    from the byte content (pure function) so downstream plumbing stays
+    testable.
     """
     b = payload or b""
     try:
@@ -101,10 +121,20 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     except Exception:
         if not fake:  # fake mode tolerates magic-byte lookalikes
             raise
+    pil = _try_import_pil()
+    if pil is not None:
+        import io
+
+        try:
+            img = pil.open(io.BytesIO(b))
+            return np.asarray(img.convert("RGB"), dtype=np.float32)
+        except Exception:
+            if not fake:  # fake mode still tolerates undecodable bytes
+                raise
     if not fake:
         raise NotImplementedError(
-            "only PPM/PGM/BMP decode without codec libs; pass fake=True or "
-            "plug a real decoder (PIL) into extract_features"
+            "only PPM/PGM/BMP decode without codec libs; install Pillow for "
+            "JPEG/PNG, or pass fake=True"
         )
     h = hashlib.sha256(b).digest()
     arr = np.frombuffer((h * 2)[:48], dtype=np.uint8).reshape(4, 4, 3)
@@ -135,14 +165,14 @@ def extract_features(
                 hv = hv / np.float32(2**32)
                 feats.append(np.concatenate([pooled / 255.0, hv]).astype(np.float32))
                 sizes.append(len(b))
-                shas.append(hashlib.sha1(b).hexdigest())
+                shas.append(hashlib.sha256(b).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feat": [list(f) for f in feats],
                     "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "sha1": shas,
+                    "sha256": shas,
                 }
             )
 

@@ -73,16 +73,37 @@ def _bucket_expr(vec_col: str, n_planes: int, seed: int, dim: int) -> F.Column:
 def _assign_to_centroids(
     vecs: DataFrame, cents: DataFrame, id_name: str
 ) -> DataFrame:
-    """Nearest centroid per vector: crossJoin(broadcast(K centroids)) +
-    per-vector argmax — the IVF coarse quantizer."""
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "_cs", cosine_expr("_v", "_cent")
+    """Nearest centroid per vector — ONE narrow projection, zero shuffle of
+    the corpus (the IVF coarse quantizer).
+
+    The K-row centroid table collapses to a single broadcast row holding
+    ARRAY<STRUCT(centroid_id, _cent, _cn)>; each corpus vector computes all K
+    cosines inside one ``transform`` lambda and takes ``array_max`` over
+    (score, -centroid_id) structs — max score, ties to the smallest id. The
+    previous shape (crossJoin + row_number window partitioned by vec_id)
+    shuffled N×K rows per Lloyd round and per list build: at 10⁹ vectors ×
+    K=4096 that shuffle IS the job. The cosine operand order replicates
+    ``functions.cosine_expr`` exactly (dot / (norm_v * norm_cent)), so
+    assignments are bit-identical to the window form."""
+    cent_arr = (
+        cents.select(
+            "centroid_id", "_cent",
+            F.expr("sqrt(aggregate(_cent, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))").alias("_cn"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("centroid_id", "_cent", "_cn"))).alias("_cents"))
     )
-    w = Window.partitionBy(id_name).orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    best = (
+        "array_max(transform(_cents, c -> struct("
+        "aggregate(zip_with(_v, c._cent, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
+        " / (_vn * c._cn) AS s, -c.centroid_id AS ncid)))"
+    )
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", "_cs", "_cent")
+        vecs.withColumn(
+            "_vn", F.expr("sqrt(aggregate(_v, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))")
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", F.expr(best))
+        .select(id_name, "_v", F.expr("CAST(-_best.ncid AS INT)").alias("centroid_id"))
     )
 
 
@@ -158,6 +179,7 @@ def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 6, n_tables: int = 4, seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -165,8 +187,13 @@ def lsh_topk(
     only its own bucket per table (union over tables for recall), then exact
     cosine + window top-k within the probed set. At 100 TB the probed set is
     ~n_tables/2^n_planes of the corpus per query instead of all of it.
+
+    Pass ``dim`` (the embedding dimensionality — callers know it) to keep
+    plan construction fully lazy; None falls back to a driver-side
+    ``first()`` probe, which fires a Spark job at PLAN-BUILD time.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     probed = None
     for t in range(n_tables):
         bexpr = _bucket_expr(vec_col, n_planes, seed + t, dim)

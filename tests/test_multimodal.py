@@ -46,7 +46,7 @@ def test_extract_features_schema_and_determinism(spark):
     for mid in f1:
         assert len(f1[mid].feat) == 16
         assert f1[mid].feat == f2[mid].feat
-        assert f1[mid].sha1 == hashlib.sha1(
+        assert f1[mid].sha256 == hashlib.sha256(
             {"m1": b"\x89PNGfake1", "m2": b"\x89PNGfake2", "v1": b"\x00\x00ftypmp4"}[mid]
         ).hexdigest()
     assert f1["m1"].feat != f1["m2"].feat
@@ -171,3 +171,32 @@ def test_resize_images_real_roundtrip(spark):
     # upscale composes too (PPM → PPM chaining)
     big = decode_image(bytes(resize_images(media, 16, 12).collect()[0].payload))
     assert big.shape == (12, 16, 3)
+
+
+def test_compressed_codec_seam():
+    """Without Pillow: PNG magic raises (honest boundary). With Pillow: the
+    real decoder engages and the fake path is unreachable — the roundtrip
+    half of this test self-activates the moment the codec lib exists."""
+    import numpy as np
+    import pytest
+
+    from e2e_el_spark.operators.multimodal import _try_import_pil, decode_image
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"garbage"
+    if _try_import_pil() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(png_magic)
+        # fake mode still yields the deterministic pseudo-image
+        assert decode_image(png_magic, fake=True).shape == (4, 4, 3)
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.arange(48, dtype=np.uint8).reshape(4, 4, 3), "RGB"
+        ).save(buf, format="PNG")
+        out = decode_image(buf.getvalue(), fake=True)  # fake must be bypassed
+        assert out.shape == (4, 4, 3)
+        assert np.array_equal(out, np.arange(48).reshape(4, 4, 3).astype("float32"))

@@ -113,3 +113,77 @@ def test_ivf_topk_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, ivf_topk(c.repartition(1), q, k=5, n_centroids=6, n_probe=3).collect()))
     b = sorted(map(tuple, ivf_topk(c.repartition(7), q, k=5, n_centroids=6, n_probe=3).collect()))
     assert a == b
+
+
+def test_ivf_assignment_is_zero_shuffle_and_matches_argmax(spark):
+    """The coarse quantizer must be one narrow projection over a broadcast
+    centroid ARRAY: no hash-partitioned Exchange, no Window (the old
+    crossJoin + row_number shape shuffled N×K rows per Lloyd round). And its
+    assignments must equal the brute-force argmax with the same tie-break
+    (max cosine, ties → smallest centroid_id)."""
+    import numpy as np
+
+    from e2e_el_spark.operators.similarity import _assign_to_centroids
+
+    rng = np.random.RandomState(7)
+    vecs_np = rng.randn(40, 8).astype("float32")
+    cents_np = rng.randn(5, 8).astype("float32")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs_np)],
+        "vec_id long, _v array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents_np)],
+        "centroid_id int, _cent array<float>",
+    )
+    out = _assign_to_centroids(vecs, cents, "vec_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    vn = vecs_np / np.linalg.norm(vecs_np, axis=1, keepdims=True)
+    cn = cents_np / np.linalg.norm(cents_np, axis=1, keepdims=True)
+    sims = vn @ cn.T
+    # numpy argmax returns the FIRST max index == smallest centroid_id tie-break
+    want = {i: int(np.argmax(sims[i])) + 1 for i in range(len(vecs_np))}
+    assert got == want
+
+
+def test_lsh_topk_with_dim_is_fully_lazy(spark):
+    """With dim passed, building the lsh_topk plan must fire ZERO Spark jobs
+    (the dim-inference first() was a plan-time driver job)."""
+    sc = spark.sparkContext
+    e = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) + 1.0 for d in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = e.limit(3)
+    sc.setJobGroup("lazy_lsh", "laziness probe")
+    try:
+        df = None
+        from e2e_el_spark.operators.similarity import lsh_topk
+
+        df = lsh_topk(e, q, k=2, n_planes=3, n_tables=2, dim=8)
+        assert list(sc.statusTracker().getJobIdsForGroup("lazy_lsh")) == []
+        df.count()
+        assert list(sc.statusTracker().getJobIdsForGroup("lazy_lsh")) != []
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_embedding_near_duplicates_with_dim_is_fully_lazy(spark):
+    from e2e_el_spark.operators.dedup import embedding_near_duplicates
+
+    sc = spark.sparkContext
+    e = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) + 1.0 for d in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    sc.setJobGroup("lazy_emb", "laziness probe")
+    try:
+        df = embedding_near_duplicates(e, "vec_id", "embedding", dim=8)
+        assert list(sc.statusTracker().getJobIdsForGroup("lazy_emb")) == []
+        df.count()
+    finally:
+        sc.setJobGroup(None, None)
