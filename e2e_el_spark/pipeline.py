@@ -273,14 +273,21 @@ def candidate_pairs(
     # (A map<gram,weight>-per-row dot was tried and is 2-3× SLOWER: Spark map
     # expressions are array-backed, so element_at is a linear scan — the
     # in-row dot degenerates to O(|grams|²) string compares per pair.)
+    # The join key is xxhash64(gram): an 8-byte long through the widest
+    # intermediate instead of a 1-5-char string (smaller shuffle rows,
+    # cheaper hash/compare). A 64-bit collision between two grams of the
+    # ≤100k vocab (P ≈ 3·10⁻¹⁰) would add one spurious cross-term; the dot
+    # stays exact for every practical purpose.
     # Surface grams that appear in NO entity vector contribute 0 to every
     # dot — a broadcast semi-join drops them map-side BEFORE the wide
     # cands⋈sv intermediate exists; the ev side itself broadcasts (the KB
     # dimension), so the only shuffle left is the partial-agg groupBy.
-    sv_r = sv.join(F.broadcast(ev.select("gram").distinct()), "gram", "left_semi")
+    evh = ev.select("entity_id", F.xxhash64("gram").alias("_gh"), F.col("weight").alias("_ew"))
+    svh = sv.select("surface", F.xxhash64("gram").alias("_gh"), "weight")
+    sv_r = svh.join(F.broadcast(evh.select("_gh").distinct()), "_gh", "left_semi")
     rescored = (
         cands.join(sv_r, "surface")
-        .join(F.broadcast(ev.withColumnRenamed("weight", "_ew")), ["entity_id", "gram"])
+        .join(F.broadcast(evh), ["entity_id", "_gh"])
         .groupBy("surface", "entity_id")
         .agg(F.sum(F.col("weight") * F.col("_ew")).alias("tfidf_cos"))
     )
