@@ -41,6 +41,13 @@ def main() -> None:
         "--rerank-topk", type=int, default=0,
         help="L3: cross-encoder rerank of the top-K candidates per surface; 0 disables",
     )
+    ap.add_argument(
+        "--kb-workdir", default=None,
+        help="persistent dir for the corpus-invariant KB artifacts (vocab, "
+        "entity vectors, block keys) — reuse across corpus runs to skip the "
+        "KB build; content-fingerprinted, a changed KB recomputes "
+        "(default: {workdir}/_kb)",
+    )
     args = ap.parse_args()
 
     from e2e_el_spark.pipeline import PipelineConfig, run_pipeline
@@ -70,7 +77,10 @@ def main() -> None:
         segment_budget_chars=args.segment_budget or None,
         rerank_topk=args.rerank_topk or None,
     )
-    clusters = run_pipeline(spark, pages, entities, gazetteer, args.workdir, cfg)
+    clusters = run_pipeline(
+        spark, pages, entities, gazetteer, args.workdir, cfg,
+        kb_workdir=args.kb_workdir,
+    )
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(json.dumps({"mentions_clustered": n, "clusters": n_clusters, "workdir": args.workdir}))
