@@ -173,6 +173,26 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
         factor = levels[-1] / levels[0]
         results["throughput_ratio"] = round(ratio, 3)
         results["scaling_efficiency"] = round(ratio / factor, 3)
+        # Amdahl fit wall(n) = W/n + S from the two measured levels: S is the
+        # serial-equivalent floor (stage barriers, checkpoint latches,
+        # KB-bounded stages), W the parallel work. Reported so the
+        # fixed-corpus efficiency number carries its own scale context —
+        # W grows with the corpus, S does not, so eff(pages) climbs toward
+        # the machine ceiling; predicted_eff_* shows the fit's extrapolation.
+        n_lo, n_hi = levels[0], levels[-1]
+        w_lo, w_hi = results[lo]["median_wall_s"], results[hi]["median_wall_s"]
+        W = (w_lo - w_hi) / (1.0 / n_lo - 1.0 / n_hi)
+        S = max(w_lo - W / n_lo, 0.0)
+        results["serial_floor_fit"] = {
+            "parallel_work_s": round(W, 1),
+            "serial_floor_s": round(S, 1),
+            "predicted_eff_at_4x_corpus": round(
+                ((4 * W / n_lo + S) / (4 * W / n_hi + S)) / factor, 3
+            ),
+            "predicted_eff_at_16x_corpus": round(
+                ((16 * W / n_lo + S) / (16 * W / n_hi + S)) / factor, 3
+            ),
+        }
     if ceiling_samples:
         results["machine_ceiling"] = summarize_ceiling(ceiling_samples)
     attach_stage_decomposition(results, levels)
@@ -289,10 +309,10 @@ def main() -> None:
     scaling: dict = {}
     if os.environ.get("EL_SKIP_SCALING") != "1":
         levels = [int(x) for x in os.environ.get("EL_SCALING_LEVELS", "2,8").split(",")]
-        # default sized so the per-round driver bench stays under ~10 min
-        # (2 ABBA trials at 30k pages); the 60k-page 3-trial campaign is
-        # committed in BENCH/SCALING_EVIDENCE.md
-        pages = int(os.environ.get("EL_BENCH_PAGES", "30000"))
+        # default sized so the per-round driver bench stays ~10-15 min
+        # (2 ABBA trials at 60k pages); the multi-size campaigns (60k 3-trial
+        # + 240k) are committed in BENCH/SCALING_EVIDENCE.md
+        pages = int(os.environ.get("EL_BENCH_PAGES", "60000"))
         mult = int(os.environ.get("EL_BENCH_MULT", "8"))
         ents = int(os.environ.get("EL_BENCH_ENTITIES", "5000"))
         trials = int(os.environ.get("EL_BENCH_TRIALS", "2"))
