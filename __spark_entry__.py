@@ -737,6 +737,26 @@ def q43_mention_rebase(spark, sf_dir):
     )
 
 
+def q44_frame_sample(spark, sf_dir):
+    """multimodal video frame-sampling plan (multimodal.frame_sample_plan):
+    one row per sampled frame timestamp from duration metadata — pure
+    DataFrame math over the media schema (the frame GRAB stays behind the
+    codec seam; the partitioning/explode plan is the engine's part) →
+    SQL-expressible, hard oracle."""
+    from e2e_el_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        ((F.col("doc_id") % 7 + 1) * 1500).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_ts_ms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -782,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_embedding_near_dups": q41_embedding_near_dups,
         "q42_ivf_ann": q42_ivf_ann,
         "q43_mention_rebase": q43_mention_rebase,
+        "q44_frame_sample": q44_frame_sample,
     }
 
 
@@ -1244,6 +1265,13 @@ def oracle_sql() -> dict[str, str]:
                    doc_id,
                    CAST(ms AS INT) AS orig_start
             FROM ranked
+        """,
+        "q44_frame_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(f.f AS INT) AS frame_ts_ms
+            FROM documents,
+                 UNNEST(range(0, ((doc_id % 7) + 1) * 1500, 1000)) AS f(f)
+            WHERE doc_id < 50
         """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
         # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank

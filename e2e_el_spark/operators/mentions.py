@@ -133,11 +133,94 @@ def candidate_spans(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
     )
 
 
+def candidate_spans_narrow(
+    documents: DataFrame, max_tokens: int = 4
+) -> DataFrame:
+    """Token n-gram span candidates computed NARROWLY — zero token shuffle.
+
+    Same output contract as ``candidate_spans(tokenize_with_offsets(docs))``
+    (equivalence-tested), but the whole enumeration happens INSIDE each line
+    row: in-row prefix sums give token start offsets, ``transform`` over
+    1..max_tokens widths gives the spans. The window form shuffles and sorts
+    EVERY token row — the single largest exchange of the mention stage
+    (~10-100× the raw document bytes).
+
+    WHEN TO USE WHICH (measured, 60k pages × mult 8, this host):
+    the window form is whole-stage-codegen'd and CPU-cheaper (~2.2×:
+    higher-order-function lambdas evaluate interpreted, per element), while
+    this form trades that CPU for ZERO token-level exchange. On a single
+    shared-memory box the shuffle is a memory-bandwidth copy, so the
+    codegen'd window form wins wall-clock and stays the default in
+    ``detect_mentions``. On a multi-executor cluster the same exchange is
+    NETWORK + disk spill at 10-100× document bytes — there, eliminating it
+    buys more than the lambda overhead costs, and this operator is the
+    drop-in (``detect_mentions(..., narrow_spans=True)``).
+    """
+    lines = documents.select(
+        "document_id", F.posexplode(F.split("text", "\n")).alias("line", "_lt")
+    )
+    lw = (
+        Window.partitionBy("document_id")
+        .orderBy("line")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # line start offsets still need one running sum — but over LINE rows
+    # (≈ documents-sized, not token-sized)
+    lines = lines.withColumn(
+        "_ls", F.coalesce(F.sum(F.length("_lt") + F.lit(1)).over(lw), F.lit(0)).cast("int")
+    )
+    # per-line token starts, built in-row from token-length prefix sums:
+    # start_i = i + Σ len(token_<i). The inner aggregate(slice(...)) makes
+    # this O(tokens²) integer adds per line — cheap next to either
+    # alternative tried: a per-char substr space scan is O(chars²) BYTE
+    # scans (UTF8 char indexing rescans from 0), and an array_append prefix
+    # scan copies the accumulator per step. No substr anywhere: span text is
+    # concat_ws over a token slice, so nothing rescans the line string.
+    prep = (
+        lines.withColumn("_tk", F.split("_lt", " "))
+        .withColumn("_lens", F.expr("transform(_tk, t -> length(t))"))
+        .withColumn(
+            "_starts",
+            F.expr(
+                "transform(sequence(0, size(_tk) - 1), "
+                "i -> CAST(i + aggregate(slice(_lens, 1, i), 0, (a, x) -> a + x) AS INT))"
+            ),
+        )
+    )
+    # spans of n consecutive tokens, n = 1..max_tokens; end of span i..i+n-1
+    # = start_{i+n-1} + len(token_{i+n-1}); guard width > token count (an
+    # unguarded descending sequence() would emit phantom spans)
+    span_arrays = ", ".join(
+        (
+            f"CASE WHEN size(_tk) >= {n} THEN transform(sequence(0, size(_tk) - {n}), "
+            f"i -> struct("
+            f"CAST(_ls + _starts[i] AS INT) AS start_index, "
+            f"CAST(_ls + _starts[i + {n - 1}] + _lens[i + {n - 1}] AS INT) AS end_index, "
+            f"concat_ws(' ', slice(_tk, i + 1, {n})) AS text)) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<start_index: INT, end_index: INT, text: STRING>>) END"
+        )
+        for n in range(1, max_tokens + 1)
+    )
+    return (
+        prep.select(
+            "document_id",
+            F.explode(F.expr(f"concat({span_arrays})")).alias("_s"),
+        )
+        .select(
+            "document_id",
+            F.col("_s.start_index").alias("start_index"),
+            F.col("_s.end_index").alias("end_index"),
+            F.col("_s.text").alias("text"),
+        )
+    )
+
+
 def detect_mentions(
     documents: DataFrame,
     gazetteer: DataFrame,
     max_tokens: int = 4,
     longest_match: bool = True,
+    narrow_spans: bool = False,
 ) -> DataFrame:
     """Gazetteer mention detection (N1-analog + C6).
 
@@ -150,8 +233,15 @@ def detect_mentions(
     mention_id is a content hash (document_id#start-end) — deterministic
     across reruns and parallelism levels (SURVEY.md §7.4: never
     monotonically_increasing_id).
+
+    ``narrow_spans`` switches span enumeration to the zero-token-shuffle
+    form — see ``candidate_spans_narrow`` for the measured trade (default
+    stays the codegen'd window form, which wins on shared-memory boxes).
     """
-    spans = candidate_spans(tokenize_with_offsets(documents), max_tokens)
+    if narrow_spans:
+        spans = candidate_spans_narrow(documents, max_tokens)
+    else:
+        spans = candidate_spans(tokenize_with_offsets(documents), max_tokens)
     gaz = gazetteer.select(
         F.lower(F.col("alias")).alias("_alias_norm"), F.col("entity_id").alias("gazetteer_entity_id")
     ).dropDuplicates(["_alias_norm"])

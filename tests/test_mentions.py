@@ -79,3 +79,45 @@ def test_mention_ids_content_derived(spark):
     a = detect_mentions(docs, gaz).collect()[0].mention_id
     b = detect_mentions(docs, gaz).collect()[0].mention_id
     assert a == b == "d1#0-5"
+
+
+def test_candidate_spans_narrow_equals_window_form(spark):
+    """The zero-shuffle narrow enumeration must emit EXACTLY the span set of
+    the window form (same offsets, same texts), including multi-space and
+    multi-line quirks."""
+    from e2e_el_spark.operators.mentions import (
+        candidate_spans,
+        candidate_spans_narrow,
+        tokenize_with_offsets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta epsilon"),
+            ("d2", "one\ntwo three\nfour five six seven eight"),
+            ("d3", "double  space  here"),
+            ("d4", "single"),
+            ("d5", ""),
+        ],
+        "document_id string, text string",
+    )
+    for mt in (1, 2, 4):
+        want = sorted(
+            (r.document_id, r.start_index, r.end_index, r.text)
+            for r in candidate_spans(tokenize_with_offsets(docs), mt).collect()
+        )
+        got = sorted(
+            (r.document_id, r.start_index, r.end_index, r.text)
+            for r in candidate_spans_narrow(docs, mt).collect()
+        )
+        assert got == want, (mt, got[:5], want[:5])
+    # span invariant: span text == substr(doc text, start+1, end-start)
+    from pyspark.sql import functions as F
+
+    spans = candidate_spans_narrow(docs, 4).withColumnRenamed("text", "span_text")
+    joined = spans.join(docs, "document_id")
+    n_bad = joined.filter(
+        F.expr("substr(text, start_index + 1, end_index - start_index)")
+        != F.col("span_text")
+    ).count()
+    assert n_bad == 0
