@@ -173,6 +173,12 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
         factor = levels[-1] / levels[0]
         results["throughput_ratio"] = round(ratio, 3)
         results["scaling_efficiency"] = round(ratio / factor, 3)
+        # drift-robust companion: best-of-trials walls. On this host identical
+        # trials spread up to 1.7× within one ABBA round; the min is the
+        # least-contended observation of the same job at each level. Reported
+        # ALONGSIDE the median number, never instead of it.
+        best_ratio = min(results[lo]["walls_s"]) / min(results[hi]["walls_s"])
+        results["scaling_efficiency_best_of_trials"] = round(best_ratio / factor, 3)
         # Amdahl fit wall(n) = W/n + S from the two measured levels: S is the
         # serial-equivalent floor (stage barriers, checkpoint latches,
         # KB-bounded stages), W the parallel work. Reported so the
