@@ -142,7 +142,11 @@ def tfidf_vectors(
     None (default) keeps exact reference parity.
     """
     grams = ngram_counts(df, id_col, text_col, n_max, compat, lowercase, stopwords)
-    weighted = grams.join(vocab.select("gram", "idf"), "gram").select(
+    # the vocab is a ≤vocab_size-row dictionary — broadcast it explicitly:
+    # without the hint a lazily-derived vocab has no size stats and Catalyst
+    # sort-merges, shuffling the ENTIRE (id, gram, tf) table (10-100× the
+    # corpus bytes) against a 100k-row table
+    weighted = grams.join(F.broadcast(vocab.select("gram", "idf")), "gram").select(
         "_id", "gram", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = weighted.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm"))
