@@ -98,6 +98,42 @@ def dot_expr(a: str, b: str) -> Column:
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)")
 
 
+def hyperplane_bucket_expr(
+    vec_col: str, n_planes: int, seed: int, dim: int
+) -> Column:
+    """Random-hyperplane sign bucket of an array<float/double> column —
+    deterministic from (seed, plane, dim), dim-INDEPENDENT expression size.
+
+    Plane weights are a generated ``transform(sequence(0, dim-1), d -> …)``
+    array (hash-derived uniform in [-1, 1], exactly the per-term constant the
+    round-3 form inlined), and each sign bit is one
+    ``aggregate(zip_with(vec, plane, …))`` fold — O(n_planes) expression
+    nodes total instead of O(dim × n_planes). The round-3 inlined form hit
+    analysis-time blowup and codegen fallback (Janino's 64 KB method limit)
+    at realistic embedding dims (768-4096 ⇒ 6k-33k terms per bit); this form
+    constructs instantly at any dim. The fold adds terms in the same
+    left-to-right order as the inlined ``+`` chain, so buckets are
+    bit-identical.
+
+    Degenerate input note: a vector whose length ≠ ``dim`` used to raise
+    (ANSI ``element_at`` out of bounds); with ``zip_with`` the null padding
+    makes every dot NULL, so such rows land in the all-'0' bucket instead —
+    mixed-dim inputs are a caller bug either way.
+    """
+    bits = []
+    for p in range(n_planes):
+        plane = (
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"(pmod(xxhash64({seed}, {p}, d), 2000001) - 1000000) / 1000000.0)"
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, {plane}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (s, v) -> s + v)"
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
 def mention_window_expr(
     text: str, start: str, end: str, budget: int = 100,
     ms: str = "[Ms]", me: str = "[Me]",

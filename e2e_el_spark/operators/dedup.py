@@ -291,17 +291,14 @@ def embedding_near_duplicates(
     Pass ``dim`` to keep plan construction fully lazy (None falls back to a
     driver-side ``first()`` probe — a Spark job at plan-build time).
     """
+    from e2e_el_spark.functions import hyperplane_bucket_expr
+
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    sign_bits = []
-    for p in range(n_planes):
-        terms = "+".join(
-            f"(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * "
-            f"((pmod(xxhash64({seed}, {p}, {d}), 2000001) - 1000000) / 1000000.0))"
-            for d in range(dim)
-        )
-        sign_bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
-    bucket = F.expr("concat(" + ", ".join(sign_bits) + ")")
+    # dim-independent expression size (O(n_planes) nodes, bit-identical
+    # buckets) — the inlined O(dim × n_planes) form blew up analysis/codegen
+    # at realistic embedding dims; see functions.hyperplane_bucket_expr
+    bucket = hyperplane_bucket_expr(vec_col, n_planes, seed, dim)
     keyed = embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")

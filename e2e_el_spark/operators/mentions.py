@@ -215,12 +215,120 @@ def candidate_spans_narrow(
     )
 
 
+def candidate_spans_arrow(documents: DataFrame, max_tokens: int = 4) -> DataFrame:
+    """Token n-gram span candidates via Arrow-batched numpy — zero token
+    shuffle AND C-speed enumeration (the third form; VERDICT r3 #2).
+
+    Same output contract as ``candidate_spans(tokenize_with_offsets(docs))``
+    and ``candidate_spans_narrow`` (equivalence-tested). Shape rationale:
+
+    - the window form shuffles + sorts EVERY token row — the largest
+      exchange of the mention stage (~10-100× raw document bytes over the
+      network on a real cluster);
+    - the narrow form eliminates the shuffle but pays ~2.2× CPU because
+      higher-order-function lambdas evaluate interpreted per element
+      (measured round 3, recorded in ``candidate_spans_narrow``);
+    - this form is ``mapInPandas`` over document rows (zero shuffle, like
+      ``segmentation.segment_documents`` which proved the shape): one
+      ``re.finditer`` pass finds all separator positions per document,
+      numpy builds token starts/ends and line ids, and each span width is a
+      vectorized slide — span text is a direct ``text[s:e]`` slice, valid
+      because the span-text == substring invariant holds by construction
+      (single-space joins within a line).
+
+    Python-boundary discipline: Arrow-batched iterator, never per-row Spark
+    UDF; the only per-span Python is the string slice (unavoidable — the
+    output IS strings).
+    """
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    sep_re = re.compile("[ \n]")
+    src = documents.select(
+        F.col("document_id").cast("string").alias("document_id"), "text"
+    )
+    schema = "document_id string, start_index int, end_index int, text string"
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list = []
+            starts: list = []
+            ends: list = []
+            texts: list = []
+            for did, text in zip(pdf["document_id"], pdf["text"]):
+                t = text or ""
+                # one C-speed pass over the doc: separator positions + kinds
+                sep_pos = []
+                sep_nl = []
+                for m in sep_re.finditer(t):
+                    sep_pos.append(m.start())
+                    sep_nl.append(t[m.start()] == "\n")
+                sp = np.asarray(sep_pos, dtype=np.int64)
+                nl = np.asarray(sep_nl, dtype=bool)
+                # token k spans (prev_sep+1 .. next_sep); line id = #newlines
+                # before the token — spans never cross a newline
+                tok_start = np.concatenate(([0], sp + 1))
+                tok_end = np.concatenate((sp, [len(t)]))
+                line_id = np.concatenate(([0], np.cumsum(nl)))
+                ntok = len(tok_start)
+                for n in range(1, max_tokens + 1):
+                    if ntok < n:
+                        break
+                    m_ = ntok - n + 1
+                    ok = line_id[:m_] == line_id[n - 1 :]
+                    s = tok_start[:m_][ok]
+                    e = tok_end[n - 1 :][ok]
+                    k = len(s)
+                    if not k:
+                        continue
+                    ids.extend([did] * k)
+                    starts.append(s)
+                    ends.append(e)
+                    texts.extend(
+                        t[a:b] for a, b in zip(s.tolist(), e.tolist())
+                    )
+            yield pd.DataFrame(
+                {
+                    "document_id": pd.Series(ids, dtype="object"),
+                    "start_index": pd.Series(
+                        np.concatenate(starts) if starts else [], dtype="int32"
+                    ),
+                    "end_index": pd.Series(
+                        np.concatenate(ends) if ends else [], dtype="int32"
+                    ),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema)
+
+
+SPAN_MODES = ("window", "narrow", "arrow")
+
+
+def enumerate_spans(
+    documents: DataFrame, max_tokens: int = 4, mode: str = "window"
+) -> DataFrame:
+    """Dispatch over the three equivalence-tested span enumerators."""
+    if mode == "narrow":
+        return candidate_spans_narrow(documents, max_tokens)
+    if mode == "arrow":
+        return candidate_spans_arrow(documents, max_tokens)
+    if mode == "window":
+        return candidate_spans(tokenize_with_offsets(documents), max_tokens)
+    raise ValueError(f"unknown span mode {mode!r}; one of {SPAN_MODES}")
+
+
 def detect_mentions(
     documents: DataFrame,
     gazetteer: DataFrame,
     max_tokens: int = 4,
     longest_match: bool = True,
     narrow_spans: bool = False,
+    span_mode: str | None = None,
 ) -> DataFrame:
     """Gazetteer mention detection (N1-analog + C6).
 
@@ -234,14 +342,15 @@ def detect_mentions(
     across reruns and parallelism levels (SURVEY.md §7.4: never
     monotonically_increasing_id).
 
-    ``narrow_spans`` switches span enumeration to the zero-token-shuffle
-    form — see ``candidate_spans_narrow`` for the measured trade (default
-    stays the codegen'd window form, which wins on shared-memory boxes).
+    ``span_mode`` selects the enumerator (``"window"`` / ``"narrow"`` /
+    ``"arrow"`` — see ``enumerate_spans``); ``narrow_spans=True`` is the
+    backward-compatible alias for ``span_mode="narrow"``. Measured trade
+    (round 4, 60k pages × mult 8): the Arrow/numpy form has the window
+    form's CPU cost with the narrow form's zero token shuffle — see
+    ``candidate_spans_arrow`` and BENCH/SCALING_EVIDENCE.md.
     """
-    if narrow_spans:
-        spans = candidate_spans_narrow(documents, max_tokens)
-    else:
-        spans = candidate_spans(tokenize_with_offsets(documents), max_tokens)
+    mode = span_mode or ("narrow" if narrow_spans else "window")
+    spans = enumerate_spans(documents, max_tokens, mode)
     gaz = gazetteer.select(
         F.lower(F.col("alias")).alias("_alias_norm"), F.col("entity_id").alias("gazetteer_entity_id")
     ).dropDuplicates(["_alias_norm"])

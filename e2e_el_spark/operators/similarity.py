@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from e2e_el_spark.functions import cosine_expr, dot_expr
+from e2e_el_spark.functions import cosine_expr, dot_expr, hyperplane_bucket_expr
 
 
 def brute_force_topk(
@@ -58,16 +58,11 @@ def brute_force_topk(
 
 
 def _bucket_expr(vec_col: str, n_planes: int, seed: int, dim: int) -> F.Column:
-    """Random-hyperplane sign bucket, deterministic from (seed, plane, dim)."""
-    bits = []
-    for p in range(n_planes):
-        terms = "+".join(
-            f"(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * "
-            f"((pmod(xxhash64({seed}, {p}, {d}), 2000001) - 1000000) / 1000000.0))"
-            for d in range(dim)
-        )
-        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+    """Random-hyperplane sign bucket, deterministic from (seed, plane, dim);
+    expression size O(n_planes), independent of dim (see
+    ``functions.hyperplane_bucket_expr`` — bit-identical to the round-3
+    inlined form, without its O(dim × n_planes) analysis/codegen blowup)."""
+    return hyperplane_bucket_expr(vec_col, n_planes, seed, dim)
 
 
 def _assign_to_centroids(

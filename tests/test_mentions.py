@@ -81,43 +81,74 @@ def test_mention_ids_content_derived(spark):
     assert a == b == "d1#0-5"
 
 
-def test_candidate_spans_narrow_equals_window_form(spark):
-    """The zero-shuffle narrow enumeration must emit EXACTLY the span set of
-    the window form (same offsets, same texts), including multi-space and
-    multi-line quirks."""
-    from e2e_el_spark.operators.mentions import (
-        candidate_spans,
-        candidate_spans_narrow,
-        tokenize_with_offsets,
-    )
-
-    docs = spark.createDataFrame(
+def _span_fixture(spark):
+    return spark.createDataFrame(
         [
             ("d1", "alpha beta gamma delta epsilon"),
             ("d2", "one\ntwo three\nfour five six seven eight"),
             ("d3", "double  space  here"),
             ("d4", "single"),
             ("d5", ""),
+            ("d6", "\nleading newline\n\ntrailing\n"),
+            ("d7", "ünïcode chars naïve café piñata"),
         ],
         "document_id string, text string",
     )
+
+
+def test_candidate_spans_alt_forms_equal_window_form(spark):
+    """The zero-shuffle enumerations (narrow HOF form, Arrow/numpy form) must
+    emit EXACTLY the span set of the window form (same offsets, same texts),
+    including multi-space / multi-line / unicode quirks."""
+    from e2e_el_spark.operators.mentions import (
+        candidate_spans,
+        candidate_spans_arrow,
+        candidate_spans_narrow,
+        tokenize_with_offsets,
+    )
+
+    docs = _span_fixture(spark)
     for mt in (1, 2, 4):
         want = sorted(
             (r.document_id, r.start_index, r.end_index, r.text)
             for r in candidate_spans(tokenize_with_offsets(docs), mt).collect()
         )
-        got = sorted(
-            (r.document_id, r.start_index, r.end_index, r.text)
-            for r in candidate_spans_narrow(docs, mt).collect()
-        )
-        assert got == want, (mt, got[:5], want[:5])
-    # span invariant: span text == substr(doc text, start+1, end-start)
-    from pyspark.sql import functions as F
+        for alt in (candidate_spans_narrow, candidate_spans_arrow):
+            got = sorted(
+                (r.document_id, r.start_index, r.end_index, r.text)
+                for r in alt(docs, mt).collect()
+            )
+            assert got == want, (alt.__name__, mt, got[:5], want[:5])
 
-    spans = candidate_spans_narrow(docs, 4).withColumnRenamed("text", "span_text")
-    joined = spans.join(docs, "document_id")
-    n_bad = joined.filter(
-        F.expr("substr(text, start_index + 1, end_index - start_index)")
-        != F.col("span_text")
-    ).count()
-    assert n_bad == 0
+
+def test_candidate_spans_alt_forms_substring_invariant(spark):
+    # span invariant: span text == substr(doc text, start+1, end-start)
+    from e2e_el_spark.operators.mentions import (
+        candidate_spans_arrow,
+        candidate_spans_narrow,
+    )
+
+    docs = _span_fixture(spark)
+    for alt in (candidate_spans_narrow, candidate_spans_arrow):
+        spans = alt(docs, 4).withColumnRenamed("text", "span_text")
+        joined = spans.join(docs, "document_id")
+        n_bad = joined.filter(
+            F.expr("substr(text, start_index + 1, end_index - start_index)")
+            != F.col("span_text")
+        ).count()
+        assert n_bad == 0, alt.__name__
+
+
+def test_detect_mentions_same_result_across_span_modes(spark):
+    docs = spark.createDataFrame(
+        [("d1", "visit amber anchor labs today\nsee amber anchor now")],
+        "document_id string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("e1", "amber anchor labs"), ("e2", "amber anchor"), ("e3", "today")],
+        "entity_id string, alias string",
+    )
+    want = sorted(map(tuple, detect_mentions(docs, gaz, span_mode="window").collect()))
+    for mode in ("narrow", "arrow"):
+        got = sorted(map(tuple, detect_mentions(docs, gaz, span_mode=mode).collect()))
+        assert got == want, mode
