@@ -757,6 +757,23 @@ def q44_frame_sample(spark, sf_dir):
     return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_ts_ms")
 
 
+def q45_span_enumeration(spark, sf_dir):
+    """Exhaustive token n-gram span enumeration (N4,
+    modeling_E2E_exhaustive.py:87-104) via the Arrow/numpy zero-shuffle form
+    (mentions.candidate_spans_arrow — the round-4 default in the flagship's
+    02_mentions stage): every 1..3-token window with exact character offsets
+    and span text == substr(text, start+1, end-start). Hard oracle: DuckDB
+    reproduces offsets with ordinality + running-sum windows + lead()."""
+    from e2e_el_spark.operators.mentions import candidate_spans_arrow
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("string").alias("document_id"), "text"
+    )
+    return candidate_spans_arrow(d, max_tokens=3).select(
+        "document_id", "start_index", "end_index", F.col("text").alias("span_text")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -803,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_ivf_ann": q42_ivf_ann,
         "q43_mention_rebase": q43_mention_rebase,
         "q44_frame_sample": q44_frame_sample,
+        "q45_span_enumeration": q45_span_enumeration,
     }
 
 
@@ -1272,6 +1290,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  UNNEST(range(0, ((doc_id % 7) + 1) * 1500, 1000)) AS f(f)
             WHERE doc_id < 50
+        """,
+        # q45: per-token char offsets via ordinality + running-sum window,
+        # n-gram ends via lead(n-1); span text re-derived with substr — the
+        # module's span invariant IS the oracle identity. The driver
+        # documents table is single-line (no '\n'), so no line partitioning
+        # is needed here; the newline/multi-space quirks are equivalence-
+        # tested in tests/test_mentions.py against the window form.
+        "q45_span_enumeration": """
+            WITH base AS (
+                SELECT doc_id, text, string_split(text, ' ') AS l
+                FROM documents WHERE doc_id < 20
+            ),
+            toks AS (
+                SELECT doc_id, text,
+                       l[CAST(g.i AS INT) + 1] AS tok,
+                       CAST(g.i AS INT) + 1 AS i
+                FROM base, UNNEST(range(len(l))) AS g(i)
+            ),
+            pos AS (
+                SELECT doc_id, text, tok, i, CAST(length(tok) AS INT) AS len,
+                       CAST(COALESCE(SUM(length(tok) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS INT) AS s
+                FROM toks
+            ),
+            w AS (
+                SELECT doc_id, text, s, len,
+                       lead(s, 1) OVER win AS s1, lead(len, 1) OVER win AS l1,
+                       lead(s, 2) OVER win AS s2, lead(len, 2) OVER win AS l2
+                FROM pos
+                WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS document_id,
+                   CAST(start_index AS INT) AS start_index,
+                   CAST(end_index AS INT) AS end_index,
+                   substr(text, start_index + 1, end_index - start_index) AS span_text
+            FROM (
+                SELECT doc_id, text, s AS start_index, s + len AS end_index FROM w
+                UNION ALL
+                SELECT doc_id, text, s, s1 + l1 FROM w WHERE s1 IS NOT NULL
+                UNION ALL
+                SELECT doc_id, text, s, s2 + l2 FROM w WHERE s2 IS NOT NULL
+            )
         """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
         # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank

@@ -187,18 +187,29 @@ def run_scaling(levels: list[int], pages: int, mult: int, ents: int, trials: int
         # the machine ceiling; predicted_eff_* shows the fit's extrapolation.
         n_lo, n_hi = levels[0], levels[-1]
         w_lo, w_hi = results[lo]["median_wall_s"], results[hi]["median_wall_s"]
-        W = (w_lo - w_hi) / (1.0 / n_lo - 1.0 / n_hi)
-        S = max(w_lo - W / n_lo, 0.0)
-        results["serial_floor_fit"] = {
-            "parallel_work_s": round(W, 1),
-            "serial_floor_s": round(S, 1),
-            "predicted_eff_at_4x_corpus": round(
-                ((4 * W / n_lo + S) / (4 * W / n_hi + S)) / factor, 3
-            ),
-            "predicted_eff_at_16x_corpus": round(
-                ((16 * W / n_lo + S) / (16 * W / n_hi + S)) / factor, 3
-            ),
-        }
+        if w_lo > w_hi:
+            W = (w_lo - w_hi) / (1.0 / n_lo - 1.0 / n_hi)
+            S = max(w_lo - W / n_lo, 0.0)
+            results["serial_floor_fit"] = {
+                "parallel_work_s": round(W, 1),
+                "serial_floor_s": round(S, 1),
+                "predicted_eff_at_4x_corpus": round(
+                    ((4 * W / n_lo + S) / (4 * W / n_hi + S)) / factor, 3
+                ),
+                "predicted_eff_at_16x_corpus": round(
+                    ((16 * W / n_lo + S) / (16 * W / n_hi + S)) / factor, 3
+                ),
+            }
+        else:
+            # trial noise put the high-parallelism wall at/above the low one:
+            # the Amdahl fit would report non-positive parallel work — not
+            # scaling evidence, so say so instead of emitting garbage
+            results["serial_floor_fit"] = None
+            results["serial_floor_fit_note"] = (
+                f"not fit: median wall at n{n_lo} ({w_lo}s) <= n{n_hi} "
+                f"({w_hi}s) — noise dominated this campaign; raise "
+                "EL_BENCH_TRIALS or corpus size"
+            )
     if ceiling_samples:
         results["machine_ceiling"] = summarize_ceiling(ceiling_samples)
     attach_stage_decomposition(results, levels)

@@ -15,7 +15,12 @@ import time
 
 from e2e_el_spark.session import get_spark
 from e2e_el_spark.synth import aliases_df, entities_df, pages_df
-from e2e_el_spark.pipeline import PipelineConfig, build_kb_artifacts, run_pipeline
+from e2e_el_spark.pipeline import (
+    PipelineConfig,
+    build_kb_artifacts,
+    kb_content_fingerprint,
+    run_pipeline,
+)
 
 
 def main() -> None:
@@ -24,7 +29,11 @@ def main() -> None:
     # L3 rerank measured by default (EL_BENCH_RERANK=0 disables) so the bench
     # covers the full production pipeline incl. the 04b stage
     rerank = int(os.environ.get("EL_BENCH_RERANK", "5")) or None
-    cfg = PipelineConfig(rerank_topk=rerank)
+    # EL_SPAN_MODE A/Bs the three span enumerators (window/narrow/arrow)
+    cfg = PipelineConfig(
+        rerank_topk=rerank,
+        span_mode=os.environ.get("EL_SPAN_MODE", PipelineConfig.span_mode),
+    )
     spark = get_spark(app_name=f"el_bench_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     # warmup: exercise JIT, Python workers, Arrow, shuffle paths
@@ -44,7 +53,10 @@ def main() -> None:
     # the KB embed across corpus runs. Same treatment at every level.
     kb_dir = f"{workdir}_kb"
     shutil.rmtree(kb_dir, ignore_errors=True)
-    build_kb_artifacts(spark, ents, cfg, kb_dir)
+    # fingerprint computed once for the frozen bench KB (the production
+    # shape): trial runs then launch ZERO KB-side jobs on full resume
+    kb_fp = kb_content_fingerprint(ents)
+    build_kb_artifacts(spark, ents, cfg, kb_dir, kb_fingerprint=kb_fp)
     walls = []
     n_clusters = 0
     stage_walls: dict[str, float] = {}
@@ -52,7 +64,7 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
         t0 = time.time()
         n_clusters = run_pipeline(spark, pages, ents, gaz, workdir, cfg,
-                                  kb_workdir=kb_dir).count()
+                                  kb_workdir=kb_dir, kb_fingerprint=kb_fp).count()
         walls.append(round(time.time() - t0, 2))
         # per-stage walls from the lineage table — the scaling-decomposition
         # evidence (corpus-proportional stages vs the KB-bounded pairs stage)

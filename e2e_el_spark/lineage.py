@@ -65,18 +65,17 @@ class StageRunner:
         """
         data_path, marker = self._paths(stage)
         if self.is_complete(stage) and not force:
-            if self.fingerprint is None:
-                return self.spark.read.parquet(data_path)
             try:
                 with open(marker) as f:
-                    stored = json.load(f).get("fingerprint")
+                    meta = json.load(f)
             except (OSError, json.JSONDecodeError):
-                stored = None
-            if stored == self.fingerprint:
-                return self.spark.read.parquet(data_path)
+                meta = {}
+            if self.fingerprint is None or meta.get("fingerprint") == self.fingerprint:
+                return self._read(data_path, meta.get("schema"))
             print(
                 f"[lineage] stage {stage}: checkpoint fingerprint "
-                f"{stored!r} != current {self.fingerprint!r} — recomputing"
+                f"{meta.get('fingerprint')!r} != current {self.fingerprint!r}"
+                " — recomputing"
             )
             # drop the stale marker BEFORE recomputing: a kill mid-recompute
             # must not leave an old marker that a rerun under the original
@@ -100,10 +99,28 @@ class StageRunner:
         with open(marker, "w") as f:
             json.dump(
                 {"stage": stage, "wall_ms": wall_ms, "ts": time.time(),
-                 "fingerprint": self.fingerprint},
+                 "fingerprint": self.fingerprint,
+                 # stored so RESUME reads skip parquet schema inference —
+                 # one Spark job per resumed stage, pure serial floor on a
+                 # fully-checkpointed rerun
+                 "schema": out.schema.json()},
                 f,
             )
         return out
+
+    def _read(self, data_path: str, schema_json: str | None) -> DataFrame:
+        """Resume read: explicit schema from the marker when available (zero
+        inference jobs); markers from older engine versions fall back to
+        schema inference."""
+        if schema_json:
+            try:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(schema_json))
+                return self.spark.read.schema(schema).parquet(data_path)
+            except Exception:
+                pass
+        return self.spark.read.parquet(data_path)
 
     def _record_lineage(self, stage: str, df: DataFrame, wall_ms: int) -> None:
         """Per-partition row counters from the just-written parquet FOOTERS —

@@ -112,22 +112,44 @@ def span_overlap_prf(pred: DataFrame, gold: DataFrame) -> dict:
     (g_s <= p_e and p_s <= g_e — the reference's clipped-overlap rule);
     unmatched gold = FN, extraneous pred = FP. Both inputs:
     (document_id, start_index, end_index).
+
+    One Spark job (crossJoin-of-aggs shape): each side left-joins the other
+    on the overlap predicate, a per-span any-match flag is aggregated, and
+    the two 1-row count frames crossJoin into a single collect — the
+    previous form fired 4 separate count() jobs, each re-evaluating the
+    join subtrees (pure serial floor when this helper ran inside the e2e
+    gate).
     """
     p = pred.select(
         F.col("document_id"), F.col("start_index").alias("ps"), F.col("end_index").alias("pe")
     ).dropDuplicates()
     g = gold.select(
-        F.col("document_id"), F.col("start_index").alias("gs"), F.col("end_index").alias("ge")
+        F.col("document_id").alias("_gdoc"), F.col("start_index").alias("gs"),
+        F.col("end_index").alias("ge"),
     ).dropDuplicates()
     overlap = (F.col("gs") <= F.col("pe")) & (F.col("ps") <= F.col("ge"))
-    matched_pred = p.join(g, ["document_id"]).filter(overlap).select(
-        "document_id", "ps", "pe"
-    ).dropDuplicates()
-    matched_gold = g.join(p, ["document_id"]).filter(overlap).select(
-        "document_id", "gs", "ge"
-    ).dropDuplicates()
-    n_pred, n_gold = p.count(), g.count()
-    tp_p, tp_g = matched_pred.count(), matched_gold.count()
+
+    p_counts = (
+        p.join(g, (F.col("document_id") == F.col("_gdoc")) & overlap, "left")
+        .groupBy("document_id", "ps", "pe")
+        .agg(F.max(F.col("gs").isNotNull()).alias("_m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(F.col("_m").cast("long")).alias("tp_p"),
+        )
+    )
+    g_counts = (
+        g.join(p, (F.col("document_id") == F.col("_gdoc")) & overlap, "left")
+        .groupBy("_gdoc", "gs", "ge")
+        .agg(F.max(F.col("ps").isNotNull()).alias("_m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gold"),
+            F.sum(F.col("_m").cast("long")).alias("tp_g"),
+        )
+    )
+    row = p_counts.crossJoin(g_counts).collect()[0]
+    n_pred, n_gold = row["n_pred"] or 0, row["n_gold"] or 0
+    tp_p, tp_g = row["tp_p"] or 0, row["tp_g"] or 0
     precision = tp_p / n_pred if n_pred else 1.0
     recall = tp_g / n_gold if n_gold else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
@@ -173,6 +195,12 @@ def pairwise_f1_from_counts(
     ``dedupe_keys=True``: each mention is reduced to its min block key first
     (pairs are then counted within primary blocks only — a deterministic,
     documented coarsening, NOT the multi-key pair-table semantics).
+
+    One Spark job: the three Σ C(n, 2) groupings — (block, cluster),
+    (block, label), (block, cluster, label) — run as a single GROUPING SETS
+    pass over the input (one scan, one shuffle) instead of three separate
+    groupBy jobs; ``grouping_id()`` keeps the sets apart even when a data
+    value is NULL.
     """
     if dedupe_keys:
         w = Window.partitionBy("mention_id").orderBy("block_key")
@@ -182,19 +210,31 @@ def pairwise_f1_from_counts(
             .drop("_rn")
         )
 
-    def _pairs(df: DataFrame, *keys: str) -> int:
-        row = (
-            df.groupBy(*keys)
-            .agg(F.count("*").alias("n"))
-            .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
-            .collect()[0]
-        )
-        return int(row["p"] or 0)
-
     d = blocked_clusters
-    pp = _pairs(d, "block_key", "cluster_id")
-    ap = _pairs(d, "block_key", "label_candidate_id")
-    tp = _pairs(d, "block_key", "cluster_id", "label_candidate_id")
+    counts = (
+        d.groupingSets(
+            [
+                ["block_key", "cluster_id"],
+                ["block_key", "label_candidate_id"],
+                ["block_key", "cluster_id", "label_candidate_id"],
+            ],
+            "block_key", "cluster_id", "label_candidate_id",
+        )
+        .agg(
+            F.grouping_id().alias("_gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("_gid")
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
+    )
+    by_gid = {r["_gid"]: int(r["p"] or 0) for r in counts.collect()}
+    # grouping_id bit = 1 when the column is AGGREGATED AWAY (order:
+    # block_key, cluster_id, label_candidate_id) — (block, cluster) drops
+    # label (0b001=1), (block, label) drops cluster (0b010=2), the full
+    # triple drops nothing (0)
+    pp = by_gid.get(1, 0)
+    ap = by_gid.get(2, 0)
+    tp = by_gid.get(0, 0)
     fp, fn = pp - tp, ap - tp
     precision = tp / pp if pp else 1.0
     recall = tp / ap if ap else 1.0

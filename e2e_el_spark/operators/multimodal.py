@@ -232,9 +232,14 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     repartitionable by media_id for locality."""
     from pyspark.sql import functions as F
 
-    return media.filter(F.col("kind") == "video").select(
+    # duration_ms <= 0 (zero-length/unknown media) yields NO frames — the
+    # old greatest(duration-1, 0) emitted a phantom frame at t=0 there
+    # (sequence(0, 0) = [0]), diverging from the q44 range() oracle
+    return media.filter(
+        (F.col("kind") == "video") & (F.col("duration_ms") > 0)
+    ).select(
         "media_id",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )

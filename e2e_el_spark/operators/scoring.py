@@ -189,11 +189,26 @@ def score_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _marked_span(text: str, ms: str = "[Ms] ", me: str = " [Me]") -> str:
+    """The [Ms]…[E] marked mention inside a context window, or the whole
+    text when no markers are present (bare-surface inputs)."""
+    i = text.find(ms)
+    if i < 0:
+        return text
+    j = text.find(me, i + len(ms))
+    if j < 0:
+        return text
+    return text[i + len(ms) : j]
+
+
 def default_cross_scorer():
     """Deterministic stand-in for the cross-encoder: hashed-char-n-gram
     embeddings of the two texts, scored by their dot product plus a
     Jaro-Winkler term (pairwise, like the real model's joint attention over
-    '[CLS] mention-context [SEP] candidate [SEP]'). A real
+    '[CLS] mention-context [SEP] candidate [SEP]'). When text_a is a marked
+    P8/P9 context window, the JW term attends to the [Ms]…[Me] span (the
+    real model's marker attention, utils_FullTransformer.py:395-470) while
+    the embedding dot sees the whole window. A real
     BertForSequenceClassification head (modeling_FullTransformer.py:62-101)
     replaces this factory: load the model HERE (once per partition), score
     the batch inside the returned callable."""
@@ -203,7 +218,10 @@ def default_cross_scorer():
         eb = hash_embed_numpy(text_b)
         dots = np.einsum("ij,ij->i", ea, eb)
         jws = np.array(
-            [jaro_winkler((x or "").lower(), (y or "").lower()) for x, y in zip(text_a, text_b)]
+            [
+                jaro_winkler(_marked_span(x or "").lower(), (y or "").lower())
+                for x, y in zip(text_a, text_b)
+            ]
         )
         return 0.5 * dots + 0.5 * jws
 

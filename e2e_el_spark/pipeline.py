@@ -52,6 +52,11 @@ class PipelineConfig:
     lsh_rows_per_band: int = 2
     link_threshold: float = 0.55
     max_mention_tokens: int = 4
+    # span enumeration form for mention detection: "window" (codegen'd
+    # token-shuffle windows), "narrow" (in-row HOF prefix sums), or "arrow"
+    # (mapInPandas + numpy — zero token shuffle at codegen-like CPU; the
+    # measured default since round 4, see mentions.candidate_spans_arrow)
+    span_mode: str = "arrow"
     # prune near-zero tf·idf entries before the gram join (see
     # blocking.tfidf_vectors — the 100 TB hot-gram guard); None = exact
     tfidf_min_weight: float | None = 0.05
@@ -82,6 +87,11 @@ class PipelineConfig:
     # score_candidates (modeling_FullTransformer.py:62-101). None disables;
     # when set, the blended score is 0.7·retrieval + 0.3·cross.
     rerank_topk: int | None = None
+    # P8/P9 document context windows (± this many chars, [Ms]/[Me] markers)
+    # as the cross-encoder's text_a — the reference's actual pair input
+    # (utils_FullTransformer.py:395-470). None degrades text_a to the bare
+    # surface string. Only meaningful when rerank_topk is set.
+    rerank_context_budget: int | None = 100
     weights: dict = field(
         default_factory=lambda: {"jw": 0.35, "tfidf_cos": 0.3, "emb_dot": 0.35}
     )
@@ -178,8 +188,24 @@ def kb_frames(
     return vocab, ev, _kb_blocks(entities, cfg)
 
 
+def kb_content_fingerprint(entities: DataFrame) -> str:
+    """Content hash of the KB: ``"{count}:{bit_xor(xxhash64(id, name))}"``.
+
+    One small agg job. Deployments that run many corpus jobs against one
+    frozen KB compute this ONCE and pass it to ``build_kb_artifacts`` /
+    ``run_pipeline`` as ``kb_fingerprint`` — a fully-resumed KB build then
+    launches ZERO Spark jobs (the fingerprint agg was the last per-run
+    KB-side job even on full resume)."""
+    row = entities.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(entity_id, name))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
 def build_kb_artifacts(
-    spark: SparkSession, entities: DataFrame, cfg: PipelineConfig, kb_workdir: str
+    spark: SparkSession, entities: DataFrame, cfg: PipelineConfig, kb_workdir: str,
+    kb_fingerprint: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Checkpoint the KB artifacts once per (config, KB-content) fingerprint.
 
@@ -189,14 +215,14 @@ def build_kb_artifacts(
     cluster sizes, so recomputing it per run is pure serial floor. The stage
     fingerprint folds in a content hash of the KB (count + bit_xor of
     xxhash64(entity_id, name)) so a changed KB recomputes rather than serving
-    stale vectors."""
-    row = entities.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(entity_id, name))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    fp = f"{cfg.fingerprint()}|kb:{row['n']}:{row['h']}"
+    stale vectors. Pass ``kb_fingerprint`` (from ``kb_content_fingerprint``,
+    computed once per frozen KB) to skip the per-run hash job — the caller
+    asserts the KB is the one the fingerprint was taken from."""
+    kb_fp = kb_fingerprint or kb_content_fingerprint(entities)
+    n_entities = int(kb_fp.split(":", 1)[0])
+    fp = f"{cfg.fingerprint()}|kb:{kb_fp}"
     runner = StageRunner(spark, kb_workdir, fingerprint=fp)
-    vocab = runner.run("kb_vocab", lambda: _kb_vocab(entities, cfg, row["n"]))
+    vocab = runner.run("kb_vocab", lambda: _kb_vocab(entities, cfg, n_entities))
     ev = runner.run(
         "kb_vectors",
         lambda: tfidf_vectors(
@@ -344,15 +370,57 @@ def score_candidates(
     )
 
 
+def surface_context_windows(
+    mentions: DataFrame, documents: DataFrame, budget: int = 100
+) -> DataFrame:
+    """One deterministic representative P8/P9 context window per surface:
+    (surface, context) — the reference's actual cross-encoder ``text_a``
+    (`/root/reference/utils_FullTransformer.py:395-470` builds
+    '[CLS] mention window [SEP] candidate [SEP]' pairs from document
+    context, not from the bare surface string).
+
+    Representative = the mention with the MINIMUM mention_id per surface
+    (content-hashed ids ⇒ stable across reruns and parallelism). The
+    surface-sized frame joins documents once; the window itself is the pure
+    column expression ``functions.mention_window_expr`` ([Ms]/[Me] markers,
+    ± budget chars)."""
+    from e2e_el_spark.functions import mention_window_expr
+
+    rep = mentions.groupBy(F.col("text").alias("surface")).agg(
+        F.min_by(
+            F.struct("document_id", "start_index", "end_index"), F.col("mention_id")
+        ).alias("_m")
+    )
+    docs = documents.select(
+        F.col("document_id").alias("_did"), F.col("text").alias("_doc_text")
+    )
+    return (
+        rep.join(docs, F.col("_m.document_id") == F.col("_did"), "left")
+        .select(
+            "surface",
+            F.coalesce(
+                mention_window_expr(
+                    "_doc_text", "_m.start_index", "_m.end_index", budget
+                ),
+                F.col("surface"),
+            ).alias("context"),
+        )
+    )
+
+
 def rerank_candidates(
-    scored: DataFrame, entities: DataFrame, cfg: PipelineConfig
+    scored: DataFrame, entities: DataFrame, cfg: PipelineConfig,
+    context: DataFrame | None = None,
 ) -> DataFrame:
     """L3 stage: cross-encode the top-N candidates per surface against the
     candidate's canonical entity text and blend the scores
     (`/root/reference/modeling_FullTransformer.py:62-101` applied to the
-    retrieval top-k, `utils_FullTransformer.py:395-470` pair construction —
-    at surface level the mention window IS the surface string; document-level
-    context windows plug in by swapping the text_a column)."""
+    retrieval top-k, `utils_FullTransformer.py:395-470` pair construction).
+
+    ``context`` (surface, context — see ``surface_context_windows``) swaps
+    the cross-encoder's ``text_a`` from the bare surface string to the
+    reference's marked document window; None keeps the surface (the
+    surface-level degenerate window)."""
     from e2e_el_spark.operators.scoring import rerank_cross
 
     w = Window.partitionBy("surface").orderBy(F.desc("score"), F.asc("entity_id"))
@@ -361,17 +429,25 @@ def rerank_candidates(
         .filter(F.col("_rk") <= cfg.rerank_topk)
         .drop("_rk")
     )
+    if context is not None:
+        top = top.join(context, "surface", "left").withColumn(
+            "_ctx", F.coalesce(F.col("context"), F.col("surface"))
+        ).drop("context")
+        text_a = "_ctx"
+    else:
+        text_a = "surface"
     pairs = top.join(
         F.broadcast(entities.select("entity_id", F.col("name").alias("_cand_text"))),
         "entity_id",
     )
     rr = rerank_cross(
         pairs, id_col="surface", cand_col="entity_id",
-        text_a="surface", text_b="_cand_text", k=cfg.rerank_topk,
+        text_a=text_a, text_b="_cand_text", k=cfg.rerank_topk,
     )
-    return rr.withColumn(
+    out = rr.withColumn(
         "score", F.col("score") * 0.7 + F.col("cross_score") * 0.3
     ).drop("_cand_text", "cross_rank")
+    return out.drop("_ctx") if context is not None else out
 
 
 def link_top1(scored: DataFrame, threshold: float) -> DataFrame:
@@ -392,14 +468,23 @@ def mention_links(links: DataFrame, mentions: DataFrame) -> DataFrame:
     ).select("mention_id", "entity_id", "score")
 
 
-def clusters_from_links(links: DataFrame, mentions: DataFrame) -> DataFrame:
+def clusters_from_links(
+    links: DataFrame, mentions: DataFrame, cc_checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over the bipartite mention–entity match graph;
-    unlinked mentions become singleton clusters."""
+    unlinked mentions become singleton clusters. ``cc_checkpoint_dir`` makes
+    the fixpoint's per-round materialization reliable (parquet) instead of
+    ``localCheckpoint`` — for multi-executor clusters where executor loss
+    must not kill the iteration."""
     edges = links.select(
         F.col("mention_id").alias("src_key"),
         F.concat(F.lit("ENT:"), F.col("entity_id")).alias("dst_key"),
     )
-    assign = cluster_nodes(edges, all_nodes=mentions.select(F.col("mention_id").alias("node_key")))
+    assign = cluster_nodes(
+        edges,
+        all_nodes=mentions.select(F.col("mention_id").alias("node_key")),
+        checkpoint_dir=cc_checkpoint_dir,
+    )
     return (
         assign.join(
             mentions.select(F.col("mention_id").alias("node_key")), "node_key", "left_semi"
@@ -416,13 +501,17 @@ def run_pipeline(
     workdir: str,
     cfg: PipelineConfig | None = None,
     kb_workdir: str | None = None,
+    kb_fingerprint: str | None = None,
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """pages → clusters(mention_id, document_id, start_index, end_index,
     text, cluster_id), with every stage checkpointed under ``workdir``.
 
     ``kb_workdir`` (default ``{workdir}/_kb``) holds the corpus-invariant KB
     artifacts; point it somewhere persistent to amortize the KB build across
-    corpus runs (content-fingerprinted, so a changed KB still recomputes)."""
+    corpus runs (content-fingerprinted, so a changed KB still recomputes).
+    ``kb_fingerprint`` (see ``kb_content_fingerprint``) skips the per-run KB
+    hash job when the caller has it cached for a frozen KB."""
     import os
 
     cfg = cfg or PipelineConfig()
@@ -434,7 +523,9 @@ def run_pipeline(
 
     def _mentions() -> DataFrame:
         if cfg.segment_budget_chars is None:
-            return detect_mentions(documents, gazetteer, cfg.max_mention_tokens)
+            return detect_mentions(
+                documents, gazetteer, cfg.max_mention_tokens, span_mode=cfg.span_mode
+            )
         # W1: detect on budget-bounded segments, then translate spans back to
         # corpus coordinates so the rest of the pipeline (and the evaluation
         # join on (document_id, start, end)) never sees segment ids
@@ -443,6 +534,7 @@ def run_pipeline(
             segs.select(F.col("segment_id").alias("document_id"), "text"),
             gazetteer,
             cfg.max_mention_tokens,
+            span_mode=cfg.span_mode,
         )
         back = segs.select(
             F.col("segment_id"), F.col("document_id").alias("_orig"), "seg_start"
@@ -463,15 +555,21 @@ def run_pipeline(
 
     mentions = runner.run("02_mentions", _mentions)
     kb = build_kb_artifacts(
-        spark, entities, cfg, kb_workdir or os.path.join(workdir, "_kb")
+        spark, entities, cfg, kb_workdir or os.path.join(workdir, "_kb"),
+        kb_fingerprint=kb_fingerprint,
     )
     cands = runner.run("03_pairs", lambda: candidate_pairs(mentions, entities, cfg, kb=kb))
     scored = runner.run(
         "04_scored", lambda: score_candidates(cands, mentions, entities, cfg, gazetteer)
     )
     if cfg.rerank_topk is not None:
+        ctx = (
+            surface_context_windows(mentions, documents, cfg.rerank_context_budget)
+            if cfg.rerank_context_budget is not None
+            else None
+        )
         scored = runner.run(
-            "04b_rerank", lambda: rerank_candidates(scored, entities, cfg)
+            "04b_rerank", lambda: rerank_candidates(scored, entities, cfg, context=ctx)
         )
     links = runner.run(
         "05_links",
@@ -479,7 +577,7 @@ def run_pipeline(
     )
     clusters = runner.run(
         "06_clusters",
-        lambda: clusters_from_links(links, mentions).join(
+        lambda: clusters_from_links(links, mentions, cc_checkpoint_dir).join(
             mentions.select("mention_id", "document_id", "start_index", "end_index", "text"),
             "mention_id",
         ).select("mention_id", "document_id", "start_index", "end_index", "text", "cluster_id"),

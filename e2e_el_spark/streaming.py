@@ -64,27 +64,26 @@ def stream_mentions_to(
     )
 
 
-def stream_links_to(
-    pages_stream: DataFrame,
+def make_links_processor(
     entities: DataFrame,
     gazetteer: DataFrame,
     out_path: str,
-    checkpoint_dir: str,
     cfg=None,
     kb=None,
+    epoch_idempotent: bool = False,
 ):
-    """pages stream → full EXTRACT → MENTIONS → PAIRS → SCORE → LINK per
-    micro-batch (the incremental form of the whole linking pipeline, not just
-    mention detection).
+    """The foreachBatch processor behind ``stream_links_to`` — factored out
+    so a retried epoch can be exercised directly in tests.
 
-    Per-micro-batch links are IDENTICAL to a batch backfill over the union of
-    the batches: every per-mention signal is a pure function of (surface, KB)
-    — the KB-only vocabulary (``pipeline._kb_vocab``) removed the last
-    corpus-level dependency (corpus IDF), so scoring cannot see batch
-    composition. foreachBatch reuses the unchanged batch operators; pass
-    precomputed ``kb`` artifacts (``pipeline.build_kb_artifacts``) so each
-    micro-batch plan starts from the parquet artifacts instead of re-deriving
-    the KB side per epoch.
+    ``epoch_idempotent=True`` writes each micro-batch to
+    ``{out_path}/_epoch={id}`` with overwrite: a RETRIED foreachBatch epoch
+    (Spark's contract is at-least-once per epoch) rewrites its own partition
+    instead of double-appending. Readers see an extra ``_epoch`` partition
+    column via parquet partition discovery. The default (False) keeps the
+    plain append sink and therefore AT-LEAST-ONCE semantics: a crash between
+    the parquet append and the checkpoint commit replays the epoch and
+    duplicates its links — dedupe downstream on (mention_id) or use the
+    idempotent mode.
     """
     from e2e_el_spark.extract import extract_documents
     from e2e_el_spark.operators.mentions import detect_mentions
@@ -106,10 +105,50 @@ def stream_links_to(
         cands = candidate_pairs(mentions, entities, cfg, kb=kb_art)
         scored = score_candidates(cands, mentions, entities, cfg, gazetteer)
         links = mention_links(link_top1(scored, cfg.link_threshold), mentions)
-        links.write.mode("append").parquet(out_path)
+        if epoch_idempotent:
+            links.write.mode("overwrite").parquet(f"{out_path}/_epoch={epoch_id}")
+        else:
+            links.write.mode("append").parquet(out_path)
 
+    return _process
+
+
+def stream_links_to(
+    pages_stream: DataFrame,
+    entities: DataFrame,
+    gazetteer: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    cfg=None,
+    kb=None,
+    epoch_idempotent: bool = False,
+):
+    """pages stream → full EXTRACT → MENTIONS → PAIRS → SCORE → LINK per
+    micro-batch (the incremental form of the whole linking pipeline, not just
+    mention detection).
+
+    Per-micro-batch links are IDENTICAL to a batch backfill over the union of
+    the batches: every per-mention signal is a pure function of (surface, KB)
+    — the KB-only vocabulary (``pipeline._kb_vocab``) removed the last
+    corpus-level dependency (corpus IDF), so scoring cannot see batch
+    composition. foreachBatch reuses the unchanged batch operators; pass
+    precomputed ``kb`` artifacts (``pipeline.build_kb_artifacts``) so each
+    micro-batch plan starts from the parquet artifacts instead of re-deriving
+    the KB side per epoch.
+
+    Delivery: the default append sink is AT-LEAST-ONCE — a retried epoch
+    double-appends its links (same caveat as ``stream_mentions_to``).
+    ``epoch_idempotent=True`` overwrites a per-epoch partition directory
+    instead, making epoch retries exactly-once at the cost of an ``_epoch``
+    partition column in the sink schema (see ``make_links_processor``).
+    """
     return (
-        pages_stream.writeStream.foreachBatch(_process)
+        pages_stream.writeStream.foreachBatch(
+            make_links_processor(
+                entities, gazetteer, out_path, cfg, kb,
+                epoch_idempotent=epoch_idempotent,
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -121,6 +160,7 @@ def stream_dedup_exact(
     text_col: str = "text",
     shards: int = 32,
     hash_fns=None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Cross-batch exact dedup as a CUSTOM STATEFUL operator
     (``applyInPandasWithState``): emit a document only the first time its
@@ -141,9 +181,21 @@ def stream_dedup_exact(
     testing seam that lets a forced-collision test prove two distinct texts
     sharing hash1 both survive. Default: salted blake2b pair.
 
-    State is unbounded by design here (exact lifetime dedup); a production
-    deployment bounds it with a state TTL (GroupStateTimeout) or rotates the
-    checkpoint — noted, not hidden.
+    State is unbounded by design here (exact lifetime dedup) and, because
+    ``applyInPandasWithState`` state has VALUE semantics, ``state.update``
+    REWRITES each shard's full sorted seen-set every micro-batch it touches —
+    O(|state|) serialization per batch, cumulative O(batches × |state|) over
+    a long stream. Acceptable at micro-batch cadence; bound it with
+    ``ttl_ms`` (ProcessingTimeTimeout: a shard that receives NO documents for
+    ``ttl_ms`` drops its seen-set, so an expired text is re-admitted — dedup
+    becomes per-TTL-window instead of lifetime) or rotate the checkpoint.
+    Per-batch state size is observable via ``streaming_state_metrics`` (the
+    sink-side ``stateOperators`` progress counters).
+
+    Upgrade note: 0.3.0 changed the state schema from ``array<long>`` to
+    ``array<binary>`` (composite keys). State-store schemas are NOT
+    migrated — resuming a checkpoint written by ≤0.2.x fails/misreads;
+    start the upgraded query with a FRESH ``checkpointLocation``.
     """
     import hashlib
     import struct
@@ -153,6 +205,11 @@ def stream_dedup_exact(
     out_schema = docs.schema
     cols = [f.name for f in docs.schema.fields]
     state_schema = "seen array<binary>"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def _salted(salt: bytes):
         def h(t: str) -> int:
@@ -167,6 +224,11 @@ def stream_dedup_exact(
         return struct.pack(">qqq", len(t or ""), h1(t), h2(t))
 
     def fn(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            # the shard saw no documents for ttl_ms: drop its seen-set —
+            # an expired text arriving later is re-admitted (emitted again)
+            state.remove()
+            return
         seen = {bytes(b) for b in state.get[0]} if state.exists else set()
         for pdf in pdfs:
             keep = []
@@ -181,13 +243,35 @@ def stream_dedup_exact(
             if len(out):
                 yield out
         state.update((sorted(seen),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
     keyed = docs.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(text_col)), F.lit(shards))
     )
     return keyed.groupBy("_shard").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout_conf
     )
+
+
+def streaming_state_metrics(query) -> dict | None:
+    """Per-batch state-size observability for stateful queries (the
+    ``stream_dedup_exact`` full-state-rewrite cost note): Spark's own
+    ``stateOperators`` progress counters from the query's last progress —
+    {state_rows, state_memory_bytes, rows_updated}. None until the first
+    batch with a stateful operator completes."""
+    prog = query.lastProgress
+    if not prog:
+        return None
+    ops = prog.get("stateOperators") or []
+    if not ops:
+        return None
+    op = ops[0]
+    return {
+        "state_rows": op.get("numRowsTotal"),
+        "state_memory_bytes": op.get("memoryUsedBytes"),
+        "rows_updated": op.get("numRowsUpdated"),
+    }
 
 
 def sessionize_stream(

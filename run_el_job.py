@@ -42,6 +42,18 @@ def main() -> None:
         help="L3: cross-encoder rerank of the top-K candidates per surface; 0 disables",
     )
     ap.add_argument(
+        "--span-mode", default=None, choices=["window", "narrow", "arrow"],
+        help="mention span enumerator: window (token-shuffle, codegen'd), "
+        "narrow (in-row HOF), arrow (mapInPandas+numpy, zero token shuffle "
+        "— the default)",
+    )
+    ap.add_argument(
+        "--cc-checkpoint-dir", default=None,
+        help="reliable per-round parquet checkpoints for the connected-"
+        "components fixpoint (executor-loss tolerant; default uses "
+        "localCheckpoint — fine in local mode)",
+    )
+    ap.add_argument(
         "--kb-workdir", default=None,
         help="persistent dir for the corpus-invariant KB artifacts (vocab, "
         "entity vectors, block keys) — reuse across corpus runs to skip the "
@@ -71,15 +83,19 @@ def main() -> None:
             else entities.selectExpr("entity_id", "name AS alias")
         )
 
-    cfg = PipelineConfig(
+    cfg_kwargs = dict(
         link_threshold=args.link_threshold,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         segment_budget_chars=args.segment_budget or None,
         rerank_topk=args.rerank_topk or None,
     )
+    if args.span_mode:
+        cfg_kwargs["span_mode"] = args.span_mode
+    cfg = PipelineConfig(**cfg_kwargs)
     clusters = run_pipeline(
         spark, pages, entities, gazetteer, args.workdir, cfg,
         kb_workdir=args.kb_workdir,
+        cc_checkpoint_dir=args.cc_checkpoint_dir,
     )
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()

@@ -200,3 +200,20 @@ def test_compressed_codec_seam():
         out = decode_image(buf.getvalue(), fake=True)  # fake must be bypassed
         assert out.shape == (4, 4, 3)
         assert np.array_equal(out, np.arange(48).reshape(4, 4, 3).astype("float32"))
+
+
+def test_frame_sample_plan_zero_duration_yields_no_frames(spark):
+    """duration_ms <= 0 (unknown/empty media) must produce NO frames — the
+    old form emitted a phantom frame at t=0 (ADVICE r3)."""
+    rows = [
+        ("v0", "video", None, "video/mp4", 0, 0, 0),
+        ("vneg", "video", None, "video/mp4", 0, 0, -5),
+        ("v1", "video", None, "video/mp4", 0, 0, 1500),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    got = sorted((r.media_id, r.frame_ts_ms) for r in frame_sample_plan(media).collect())
+    assert got == [("v1", 0), ("v1", 1000)]

@@ -114,3 +114,59 @@ def test_rerun_from_scratch_deterministic(spark, corpus, tmp_path):
     r1 = sorted((r.mention_id, r.cluster_id) for r in _run(spark, corpus, w1).collect())
     r2 = sorted((r.mention_id, r.cluster_id) for r in _run(spark, corpus, w2).collect())
     assert r1 == r2
+
+
+def test_rerank_context_windows_marked_and_f1(spark, corpus, tmp_path):
+    """Task: document-level P8/P9 context windows as the cross-encoder's
+    text_a (the reference's actual pair input). The window frame must carry
+    [Ms]/[Me]-marked, document-derived context per surface, and the F1 gate
+    must hold with windows on (it is the default when rerank is enabled)."""
+    from e2e_el_spark.operators.mentions import detect_mentions
+    from e2e_el_spark.extract import extract_documents
+    from e2e_el_spark.pipeline import PipelineConfig, surface_context_windows
+
+    docs = extract_documents(corpus["pages"])
+    mentions = detect_mentions(docs, corpus["gazetteer"])
+    ctx = surface_context_windows(mentions, docs, budget=50)
+    rows = ctx.limit(50).collect()
+    assert rows, "no context windows built"
+    for r in rows:
+        assert "[Ms] " in r.context and " [Me]" in r.context, r
+        marked = r.context.split("[Ms] ", 1)[1].split(" [Me]", 1)[0]
+        assert marked == r.surface, (marked, r.surface)
+    # determinism: representative picked by min mention_id — two builds agree
+    again = {r.surface: r.context for r in ctx.collect()}
+    assert {r.surface: r.context for r in surface_context_windows(
+        mentions, docs, budget=50).collect()} == again
+    # e2e gate with windows on (the default when rerank_topk is set)
+    clusters = run_pipeline(
+        spark, corpus["pages"], corpus["entities"], corpus["gazetteer"],
+        str(tmp_path / "rrctx"), PipelineConfig(rerank_topk=5),
+    )
+    m = evaluate_pipeline(clusters, corpus["gold"])
+    assert m["f1"] >= 0.99, m
+
+
+def test_kb_fingerprint_param_resumes_with_zero_jobs(spark, corpus, tmp_path):
+    """A fully-resumed KB-artifact build with a caller-supplied
+    kb_fingerprint must launch ZERO Spark jobs (the per-run KB hash agg was
+    the last serial-floor job on full resume)."""
+    from e2e_el_spark.pipeline import (
+        PipelineConfig, build_kb_artifacts, kb_content_fingerprint,
+    )
+
+    cfg = PipelineConfig()
+    kb_dir = str(tmp_path / "kbfp")
+    fp = kb_content_fingerprint(corpus["entities"])
+    build_kb_artifacts(spark, corpus["entities"], cfg, kb_dir, kb_fingerprint=fp)
+    sc = spark.sparkContext
+    sc.setJobGroup("kb_resume", "kb_resume")
+    try:
+        vocab, ev, eb = build_kb_artifacts(
+            spark, corpus["entities"], cfg, kb_dir, kb_fingerprint=fp
+        )
+        n_jobs = len(list(sc.statusTracker().getJobIdsForGroup("kb_resume")))
+    finally:
+        sc.setJobGroup(None, None)
+    assert n_jobs == 0, n_jobs
+    assert vocab.count() > 0 and ev.count() > 0  # artifacts readable

@@ -225,3 +225,85 @@ def test_stream_links_parity_with_batch_backfill(spark, tmp_path):
         for r in mention_links(link_top1(scored, cfg.link_threshold), mentions).collect()
     )
     assert len(got) > 0 and got == want
+
+
+def test_stream_links_epoch_idempotent_retry(spark, tmp_path):
+    """foreachBatch epochs are at-least-once: a RETRIED epoch must not
+    double-append links. epoch_idempotent=True overwrites the epoch's own
+    partition — invoking the processor twice with the same epoch_id (the
+    retry) leaves the sink unchanged (ADVICE r3 #1)."""
+    from e2e_el_spark.extract import extract_documents
+    from e2e_el_spark.streaming import make_links_processor
+    from e2e_el_spark.synth import aliases_df, entities_df, pages_df
+
+    out = str(tmp_path / "idem_links")
+    pages = pages_df(spark, 20, n_entities=15, seed=9, partitions=2)
+    ents, gaz = entities_df(spark, 15, seed=9), aliases_df(spark, 15, seed=9)
+    proc = make_links_processor(ents, gaz, out, epoch_idempotent=True)
+    proc(pages, 0)
+    once = sorted(map(tuple, spark.read.parquet(out).drop("_epoch").collect()))
+    assert once, "no links produced"
+    proc(pages, 0)  # the retry
+    twice = sorted(map(tuple, spark.read.parquet(out).drop("_epoch").collect()))
+    assert twice == once
+    # a genuinely new epoch appends its own partition
+    proc(pages, 1)
+    assert spark.read.parquet(out).count() == 2 * len(once)
+
+
+def test_stream_dedup_ttl_readmits_expired_text(spark, tmp_path):
+    """ttl_ms: a shard that sees no documents for the TTL drops its seen-set
+    (ProcessingTimeTimeout), so an expired text is re-admitted — and the
+    state-size metrics are emitted via the query progress (VERDICT r3 #7)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from e2e_el_spark.streaming import stream_dedup_exact, streaming_state_metrics
+
+    # pick two texts that land in DIFFERENT shards (shards=2)
+    cands = [f"text number {i}" for i in range(12)]
+    shard_of = {
+        r.t: r.s
+        for r in spark.createDataFrame([(t,) for t in cands], "t string")
+        .select("t", F.pmod(F.xxhash64("t"), F.lit(2)).alias("s")).collect()
+    }
+    text_a = next(t for t in cands if shard_of[t] == 0)
+    text_b = next(t for t in cands if shard_of[t] == 1)
+
+    src = str(tmp_path / "ttl_in")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    os.makedirs(src)
+    metrics = []
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream_dedup_exact(stream, shards=2, ttl_ms=1500)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        metrics.append(streaming_state_metrics(q))
+
+    spark.createDataFrame([(1, text_a)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    _time.sleep(3)  # > ttl: shard A's state expires at the next trigger
+    # batch 2 carries only shard B's text → shard A gets the timed-out call
+    spark.createDataFrame([(2, text_b)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    # batch 3: text_a again — its state was dropped, so it re-emits
+    spark.createDataFrame([(3, text_a)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = sorted((r.doc_id, r.text) for r in spark.read.parquet(out).collect())
+    assert got == [(1, text_a), (2, text_b), (3, text_a)], got
+    # state metrics observable on every batch that ran the stateful operator
+    assert any(m and m["state_rows"] is not None for m in metrics), metrics

@@ -152,3 +152,45 @@ def test_pairwise_f1_counts_multi_key_dedupe(spark):
         df.select("mention_id", "cluster_id").distinct(),
     )
     assert raw["tp"] + raw["fp"] >= pair_table["tp"] + pair_table["fp"]
+
+
+def test_metric_helpers_single_action(spark):
+    """span_overlap_prf and pairwise_f1_from_counts must be SINGLE-action
+    helpers (VERDICT r3 #4): the old forms fired 4 count() jobs / 3 groupBy
+    jobs, each re-evaluating their subtrees — pure serial floor. Job
+    counting needs AQE off (adaptive execution splits one action into one
+    job per stage materialization, which is fan-out, not re-evaluation):
+    grouping-sets F1 = exactly 1 job; span PRF = 2 (the crossJoin-of-aggs'
+    tiny 1-row broadcast side is its own job), down from 4 full-input scans.
+    """
+    from e2e_el_spark.metrics import pairwise_f1_from_counts, span_overlap_prf
+
+    sc = spark.sparkContext
+    gold = spark.createDataFrame(
+        [("d1", 0, 5), ("d1", 10, 15), ("d2", 0, 3)],
+        "document_id string, start_index int, end_index int",
+    )
+    pred = spark.createDataFrame(
+        [("d1", 3, 7), ("d1", 20, 25)],
+        "document_id string, start_index int, end_index int",
+    )
+    blocked = spark.createDataFrame(
+        [("m1", "b0", "L1", "c1"), ("m2", "b0", "L1", "c1"), ("m3", "b0", "L2", "c2")],
+        "mention_id string, block_key string, label_candidate_id string, cluster_id string",
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("prf_jobs", "prf_jobs")
+        m = span_overlap_prf(pred, gold)
+        n_prf = len(list(sc.statusTracker().getJobIdsForGroup("prf_jobs")))
+        sc.setJobGroup("pfc_jobs", "pfc_jobs")
+        f = pairwise_f1_from_counts(blocked)
+        n_pfc = len(list(sc.statusTracker().getJobIdsForGroup("pfc_jobs")))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    assert m["fp"] == 1 and m["fn"] == 2
+    assert n_prf <= 2, n_prf
+    assert (f["tp"], f["fp"], f["fn"]) == (1, 0, 0)
+    assert n_pfc == 1, n_pfc
