@@ -229,79 +229,188 @@ def candidate_spans_arrow(documents: DataFrame, max_tokens: int = 4) -> DataFram
       higher-order-function lambdas evaluate interpreted per element
       (measured round 3, recorded in ``candidate_spans_narrow``);
     - this form is ``mapInPandas`` over document rows (zero shuffle, like
-      ``segmentation.segment_documents`` which proved the shape): one
-      ``re.finditer`` pass finds all separator positions per document,
-      numpy builds token starts/ends and line ids, and each span width is a
-      vectorized slide — span text is a direct ``text[s:e]`` slice, valid
-      because the span-text == substring invariant holds by construction
-      (single-space joins within a line).
+      ``segmentation.segment_documents`` which proved the shape), measured
+      at ~3-10% CPU tax vs the codegen'd window form on this host (60k
+      pages × mult 8: n2 parity, n8 best-of 10.1s vs 9.1s) — so the window
+      form stays the shared-memory default, and this is the drop-in where
+      the token exchange is network (``span_mode="arrow"``).
 
-    Python-boundary discipline: Arrow-batched iterator, never per-row Spark
-    UDF; the only per-span Python is the string slice (unavoidable — the
-    output IS strings).
+    Python-boundary discipline: the whole Arrow batch is enumerated as ONE
+    flat numpy problem — all (ASCII) docs concatenate into a single byte
+    buffer separated by '\\n' (spans never cross newlines, so doc
+    boundaries are free), separator positions / token offsets / line ids
+    come from vectorized scans, and span TEXTS are built by grouped
+    ``sliding_window_view`` gathers straight into a pyarrow string buffer.
+    No per-span Python object is ever created (a first cut that sliced one
+    Python string per span was memory-allocator-bound: 8 workers churning
+    ~10⁸ PyObjects hit the same DRAM ceiling as the shuffle it replaced).
+    Non-ASCII docs (byte ≠ char offsets) fall back to a per-doc Python
+    slice path — correctness identical, speed proportional to their share.
     """
-    import re
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    sep_re = re.compile("[ \n]")
     src = documents.select(
         F.col("document_id").cast("string").alias("document_id"), "text"
     )
     schema = "document_id string, start_index int, end_index int, text string"
 
+    def _python_doc(did, t, out):
+        """Non-ASCII fallback: per-doc Python slicing (char offsets)."""
+        import re
+
+        sp, nl = [], []
+        for m in re.finditer("[ \n]", t):
+            sp.append(m.start())
+            nl.append(t[m.start()] == "\n")
+        spv = np.asarray(sp, dtype=np.int64)
+        tok_s = np.concatenate(([0], spv + 1))
+        tok_e = np.concatenate((spv, [len(t)]))
+        line = np.concatenate(([0], np.cumsum(np.asarray(nl, dtype=bool))))
+        ntok = len(tok_s)
+        for n in range(1, max_tokens + 1):
+            if ntok < n:
+                break
+            m_ = ntok - n + 1
+            ok = line[:m_] == line[n - 1 :]
+            s = tok_s[:m_][ok]
+            e = tok_e[n - 1 :][ok]
+            if len(s):
+                out["ids"].extend([did] * len(s))
+                out["s"].append(s.astype(np.int32))
+                out["e"].append(e.astype(np.int32))
+                out["t"].extend(t[a:b] for a, b in zip(s.tolist(), e.tolist()))
+
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids: list = []
-            starts: list = []
-            ends: list = []
-            texts: list = []
+            # split the batch into the ASCII fast path and the fallback
+            fast_ids: list = []
+            fast_bytes: list = []
+            py_out = {"ids": [], "s": [], "e": [], "t": []}
             for did, text in zip(pdf["document_id"], pdf["text"]):
                 t = text or ""
-                # one C-speed pass over the doc: separator positions + kinds
-                sep_pos = []
-                sep_nl = []
-                for m in sep_re.finditer(t):
-                    sep_pos.append(m.start())
-                    sep_nl.append(t[m.start()] == "\n")
-                sp = np.asarray(sep_pos, dtype=np.int64)
-                nl = np.asarray(sep_nl, dtype=bool)
-                # token k spans (prev_sep+1 .. next_sep); line id = #newlines
-                # before the token — spans never cross a newline
-                tok_start = np.concatenate(([0], sp + 1))
-                tok_end = np.concatenate((sp, [len(t)]))
-                line_id = np.concatenate(([0], np.cumsum(nl)))
-                ntok = len(tok_start)
-                for n in range(1, max_tokens + 1):
-                    if ntok < n:
-                        break
-                    m_ = ntok - n + 1
-                    ok = line_id[:m_] == line_id[n - 1 :]
-                    s = tok_start[:m_][ok]
-                    e = tok_end[n - 1 :][ok]
-                    k = len(s)
-                    if not k:
-                        continue
-                    ids.extend([did] * k)
-                    starts.append(s)
-                    ends.append(e)
-                    texts.extend(
-                        t[a:b] for a, b in zip(s.tolist(), e.tolist())
+                b = t.encode("utf-8")
+                if len(b) == len(t):  # byte offsets == char offsets
+                    fast_ids.append(did)
+                    fast_bytes.append(b)
+                else:
+                    _python_doc(did, t, py_out)
+
+            frames = []
+            if fast_ids:
+                frames.append(_enumerate_ascii(fast_ids, fast_bytes))
+            if py_out["ids"]:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "document_id": pd.Series(py_out["ids"], dtype="object"),
+                            "start_index": pd.Series(
+                                np.concatenate(py_out["s"]), dtype="int32"
+                            ),
+                            "end_index": pd.Series(
+                                np.concatenate(py_out["e"]), dtype="int32"
+                            ),
+                            "text": pd.Series(py_out["t"], dtype="object"),
+                        }
                     )
-            yield pd.DataFrame(
+                )
+            if not frames:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "document_id": pd.Series([], dtype="object"),
+                            "start_index": pd.Series([], dtype="int32"),
+                            "end_index": pd.Series([], dtype="int32"),
+                            "text": pd.Series([], dtype="object"),
+                        }
+                    )
+                )
+            yield from frames
+
+    def _enumerate_ascii(doc_ids: list, doc_bytes: list) -> "pd.DataFrame":
+        # ONE flat buffer: docs joined by '\n' — the separator scan, token
+        # offsets, line ids, and per-width slides are all batch-global
+        big = b"\n".join(doc_bytes)
+        arr = np.frombuffer(big, dtype=np.uint8)
+        doc_lens = np.asarray([len(b) for b in doc_bytes], dtype=np.int64)
+        # doc k occupies [doc_off[k], doc_off[k] + len_k)
+        doc_off = np.concatenate(([0], np.cumsum(doc_lens[:-1] + 1)))
+        is_sep = (arr == 32) | (arr == 10)
+        sp = np.flatnonzero(is_sep)
+        tok_s = np.concatenate(([0], sp + 1))
+        tok_e = np.concatenate((sp, [len(arr)]))
+        nl = arr[sp] == 10 if len(sp) else np.zeros(0, dtype=bool)
+        line = np.concatenate(([0], np.cumsum(nl)))
+        ntok = len(tok_s)
+
+        id_chunks: list = []
+        s_chunks: list = []
+        e_chunks: list = []
+        len_chunks: list = []
+        val_chunks: list = []
+        for n in range(1, max_tokens + 1):
+            if ntok < n:
+                break
+            m_ = ntok - n + 1
+            ok = line[:m_] == line[n - 1 :]
+            s = tok_s[:m_][ok]
+            e = tok_e[n - 1 :][ok]
+            if not len(s):
+                continue
+            # doc index + doc-relative offsets (same doc for s and e: spans
+            # never cross '\n', and doc boundaries ARE '\n')
+            di = np.searchsorted(doc_off, s, side="right") - 1
+            rel_s = (s - doc_off[di]).astype(np.int32)
+            rel_e = (e - doc_off[di]).astype(np.int32)
+            # grouped gather per span byte-length: one sliding_window_view
+            # slice per distinct width — no per-span Python
+            L = e - s
+            order = np.argsort(L, kind="stable")
+            s_o, L_o = s[order], L[order]
+            id_chunks.append(di[order].astype(np.int32))
+            s_chunks.append(rel_s[order])
+            e_chunks.append(rel_e[order])
+            len_chunks.append(L_o.astype(np.int64))
+            widths, starts_ix = np.unique(L_o, return_index=True)
+            bounds = np.append(starts_ix, len(L_o))
+            for w, lo, hi in zip(widths, bounds[:-1], bounds[1:]):
+                if w == 0:
+                    continue  # empty-token spans contribute 0 bytes
+                windows = np.lib.stride_tricks.sliding_window_view(arr, int(w))
+                val_chunks.append(windows[s_o[lo:hi]].tobytes())
+
+        if not id_chunks:
+            return pd.DataFrame(
                 {
-                    "document_id": pd.Series(ids, dtype="object"),
-                    "start_index": pd.Series(
-                        np.concatenate(starts) if starts else [], dtype="int32"
-                    ),
-                    "end_index": pd.Series(
-                        np.concatenate(ends) if ends else [], dtype="int32"
-                    ),
-                    "text": pd.Series(texts, dtype="object"),
+                    "document_id": pd.Series([], dtype="object"),
+                    "start_index": pd.Series([], dtype="int32"),
+                    "end_index": pd.Series([], dtype="int32"),
+                    "text": pd.Series([], dtype="object"),
                 }
             )
+        lens = np.concatenate(len_chunks)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        values = b"".join(val_chunks)
+        text_pa = pa.Array.from_buffers(
+            pa.utf8(), len(lens),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values)],
+        )
+        ids_pa = pa.DictionaryArray.from_arrays(
+            pa.array(np.concatenate(id_chunks), type=pa.int32()),
+            pa.array(doc_ids, type=pa.string()),
+        ).cast(pa.string())
+        return pd.DataFrame(
+            {
+                "document_id": pd.Series(ids_pa, dtype=pd.ArrowDtype(pa.string())),
+                "start_index": pd.Series(np.concatenate(s_chunks), dtype="int32"),
+                "end_index": pd.Series(np.concatenate(e_chunks), dtype="int32"),
+                "text": pd.Series(text_pa, dtype=pd.ArrowDtype(pa.string())),
+            }
+        )
 
     return src.mapInPandas(gen, schema)
 

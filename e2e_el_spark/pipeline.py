@@ -53,10 +53,13 @@ class PipelineConfig:
     link_threshold: float = 0.55
     max_mention_tokens: int = 4
     # span enumeration form for mention detection: "window" (codegen'd
-    # token-shuffle windows), "narrow" (in-row HOF prefix sums), or "arrow"
-    # (mapInPandas + numpy — zero token shuffle at codegen-like CPU; the
-    # measured default since round 4, see mentions.candidate_spans_arrow)
-    span_mode: str = "arrow"
+    # token-shuffle windows — wins wall-clock on shared-memory hosts, the
+    # measured default), "narrow" (in-row HOF prefix sums, zero shuffle at
+    # 2.2x CPU), or "arrow" (mapInPandas + batch-global numpy gathers into
+    # pyarrow buffers — zero token shuffle at ~3-10% CPU tax on this host;
+    # the drop-in for network-bound clusters where the token exchange is
+    # 10-100x document bytes; see mentions.candidate_spans_arrow)
+    span_mode: str = "window"
     # prune near-zero tf·idf entries before the gram join (see
     # blocking.tfidf_vectors — the 100 TB hot-gram guard); None = exact
     tfidf_min_weight: float | None = 0.05
