@@ -91,29 +91,83 @@ def candidate_spans(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
     partitioned by (document_id, line): spans never cross a newline, keeping
     the span-text == substring invariant exact.
     """
+    return _spans_window(tokens, max_tokens, anchors=None)
+
+
+def alias_anchor_dim(gazetteer: DataFrame, max_tokens: int = 4) -> DataFrame:
+    """(_anchor_first, _anchor_widths) — the necessary-condition dim for
+    anchor-pruned gazetteer detection.
+
+    For an exact (case-insensitive) surface match, the span's FIRST token
+    must equal the alias's first token and the span's token COUNT must be
+    one the alias set actually contains for that first token — both are
+    consequences of full-string equality, so pruning on them is
+    semantics-preserving for ANY gazetteer/corpus pair. Aliases longer than
+    ``max_tokens`` can never match an enumerator bounded by ``max_tokens``
+    and are dropped from the dim. Output is KB-sized (≤ one row per
+    distinct alias first token) — always broadcastable.
+    """
+    return (
+        gazetteer.select(F.split(F.lower("alias"), " ").alias("_aw"))
+        .select(
+            F.element_at("_aw", 1).alias("_anchor_first"),
+            F.size("_aw").alias("_n"),
+        )
+        .filter((F.col("_n") >= 1) & (F.col("_n") <= max_tokens))
+        .groupBy("_anchor_first")
+        .agg(F.collect_set("_n").alias("_anchor_widths"))
+    )
+
+
+def _spans_window(
+    tokens: DataFrame, max_tokens: int, anchors: DataFrame | None
+) -> DataFrame:
+    """lead()-window span enumeration, optionally anchor-pruned.
+
+    With ``anchors`` (from :func:`alias_anchor_dim`), the 1..max_tokens
+    explode, the span-text ``concat_ws`` and everything downstream run ONLY
+    for tokens that start some alias, and only at widths that alias set
+    contains — the lead() pass itself still sees every token (successor
+    tokens of an anchor are arbitrary), but the 4× row expansion and the
+    per-span string build collapse to the anchor rate (measured ~5-15% on
+    web-like text). The anchor join is a broadcast hash join sitting
+    between the window exec and the explode: zero extra shuffle.
+    """
     w = Window.partitionBy("document_id", "line").orderBy("lpos")
     cols = tokens
     for j in range(1, max_tokens):
         cols = cols.withColumn(f"_tok{j}", F.lead("token", j).over(w)).withColumn(
             f"_end{j}", F.lead("end", j).over(w)
         )
+    if anchors is not None:
+        cols = cols.join(
+            F.broadcast(anchors),
+            F.lower(F.col("token")) == F.col("_anchor_first"),
+            "inner",
+        )
     # ONE window pass + one explode of an array<struct> — not a 4-way union
     # that would re-evaluate the window per branch
     variants = []
     for n in range(1, max_tokens + 1):
         if n == 1:
-            variants.append(
-                F.struct(
-                    F.col("start").alias("start_index"),
-                    F.col("end").alias("end_index"),
-                    F.col("token").alias("text"),
-                )
+            struct1 = F.struct(
+                F.col("start").alias("start_index"),
+                F.col("end").alias("end_index"),
+                F.col("token").alias("text"),
             )
+            if anchors is not None:
+                struct1 = F.when(
+                    F.array_contains(F.col("_anchor_widths"), 1), struct1
+                )
+            variants.append(struct1)
         else:
             parts = [F.col("token")] + [F.col(f"_tok{j}") for j in range(1, n)]
+            cond = F.col(f"_tok{n-1}").isNotNull()
+            if anchors is not None:
+                cond = cond & F.array_contains(F.col("_anchor_widths"), n)
             variants.append(
                 F.when(
-                    F.col(f"_tok{n-1}").isNotNull(),
+                    cond,
                     F.struct(
                         F.col("start").alias("start_index"),
                         F.col(f"_end{n-1}").alias("end_index"),
@@ -415,6 +469,269 @@ def candidate_spans_arrow(documents: DataFrame, max_tokens: int = 4) -> DataFram
     return src.mapInPandas(gen, schema)
 
 
+def _match_mentions_arrow(
+    documents: DataFrame, gazetteer: DataFrame, max_tokens: int
+) -> DataFrame:
+    """Fused gazetteer matcher: anchor-pruned span enumeration AND alias
+    lookup inside one zero-shuffle ``mapInPandas`` pass (the "fused arrow
+    detect" follow-up recorded in BENCH/SCALING_EVIDENCE.md round 4).
+
+    Only MATCHED spans ever leave the UDF: the token shuffle of the window
+    form, the 1..max_tokens span explosion and the spans⋈gazetteer join all
+    collapse into per-batch pyarrow C++ kernels — ``utf8_lower`` +
+    ``index_in`` against the broadcast-closure alias arrays. Span texts are
+    built (via the grouped ``sliding_window_view`` gathers of
+    ``candidate_spans_arrow``) only at anchor positions whose first token
+    starts some alias at an allowed width — measured ~10-50× fewer span
+    constructions than exhaustive enumeration on web-like text.
+
+    Laziness note: the gazetteer (KB-bounded, ≪ corpus) is collected
+    driver-side at plan-construction time — the Spark broadcast-variable
+    pattern, same trade as ``operators.similarity``'s lazy-dim fallback.
+    Case folding uses utf8proc (``pyarrow.compute.utf8_lower``) on BOTH
+    sides, vs the JVM ``lower()`` of the join path — identical on ASCII and
+    common Latin; locale-exotic code points may differ (documented).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rows = (
+        gazetteer.select(
+            F.lower(F.col("alias")).alias("n"), F.col("entity_id").alias("e")
+        )
+        .groupBy("n")
+        .agg(F.min("e").alias("e"))
+        .collect()
+    )
+    alias_norms = [r["n"] for r in rows]
+    alias_entities = [r["e"] for r in rows]
+    # anchor dim: first token -> bitmask of alias token-counts (width w sets
+    # bit w); aliases longer than max_tokens can never match
+    anchor_bits: dict = {}
+    for a in alias_norms:
+        parts = a.split(" ")
+        if 1 <= len(parts) <= max_tokens:
+            anchor_bits[parts[0]] = anchor_bits.get(parts[0], 0) | (1 << len(parts))
+    anchor_firsts = list(anchor_bits)
+    anchor_widths = np.asarray([anchor_bits[k] for k in anchor_firsts], dtype=np.int32)
+    alias_map = dict(zip(alias_norms, alias_entities))
+
+    src = documents.select(
+        F.col("document_id").cast("string").alias("document_id"), "text"
+    )
+    schema = (
+        "document_id string, start_index int, end_index int, text string,"
+        " gazetteer_entity_id string"
+    )
+
+    def _python_doc(did, t, out):
+        """Non-ASCII fallback: per-doc anchored dict matching (char offsets)."""
+        import re
+
+        sp, nl = [], []
+        for m in re.finditer("[ \n]", t):
+            sp.append(m.start())
+            nl.append(t[m.start()] == "\n")
+        spv = np.asarray(sp, dtype=np.int64)
+        tok_s = np.concatenate(([0], spv + 1))
+        tok_e = np.concatenate((spv, [len(t)]))
+        line = np.concatenate(([0], np.cumsum(np.asarray(nl, dtype=bool))))
+        ntok = len(tok_s)
+        for i in range(ntok):
+            bits = anchor_bits.get(t[tok_s[i] : tok_e[i]].lower())
+            if not bits:
+                continue
+            for n in range(1, max_tokens + 1):
+                j = i + n - 1
+                if j >= ntok or line[j] != line[i]:
+                    break
+                if not (bits >> n) & 1:
+                    continue
+                text = t[tok_s[i] : tok_e[j]]
+                ent = alias_map.get(text.lower())
+                if ent is not None:
+                    out.append((did, int(tok_s[i]), int(tok_e[j]), text, ent))
+
+    def _match_ascii(doc_ids: list, doc_bytes: list) -> "pd.DataFrame":
+        if not anchor_firsts:  # empty gazetteer ⇒ no anchors ⇒ no matches
+            return pd.DataFrame(
+                {
+                    "document_id": pd.Series([], dtype="object"),
+                    "start_index": pd.Series([], dtype="int32"),
+                    "end_index": pd.Series([], dtype="int32"),
+                    "text": pd.Series([], dtype="object"),
+                    "gazetteer_entity_id": pd.Series([], dtype="object"),
+                }
+            )
+        big = b"\n".join(doc_bytes)
+        arr = np.frombuffer(big, dtype=np.uint8)
+        doc_lens = np.asarray([len(b) for b in doc_bytes], dtype=np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(doc_lens[:-1] + 1)))
+        is_sep = (arr == 32) | (arr == 10)
+        sp = np.flatnonzero(is_sep)
+        tok_s = np.concatenate(([0], sp + 1))
+        tok_e = np.concatenate((sp, [len(arr)]))
+        nl = arr[sp] == 10 if len(sp) else np.zeros(0, dtype=bool)
+        line = np.concatenate(([0], np.cumsum(nl)))
+        ntok = len(tok_s)
+
+        # per-token anchor lookup, batch-global: one utf8 array over all
+        # tokens (arrow offsets must be contiguous, so the separator bytes
+        # are squeezed out by the same grouped per-width gathers the span
+        # build uses), lowered + hash-probed in C++
+        L = tok_e - tok_s
+        order = np.argsort(L, kind="stable")
+        s_o, L_o = tok_s[order], L[order]
+        widths, starts_ix = np.unique(L_o, return_index=True)
+        bounds = np.append(starts_ix, ntok)
+        val_chunks = []
+        for w, lo, hi in zip(widths, bounds[:-1], bounds[1:]):
+            if w == 0:
+                continue
+            windows = np.lib.stride_tricks.sliding_window_view(arr, int(w))
+            val_chunks.append(windows[s_o[lo:hi]].tobytes())
+        lens_sorted = L_o.astype(np.int64)
+        offs = np.zeros(ntok + 1, dtype=np.int32)
+        np.cumsum(lens_sorted, out=offs[1:])
+        toks_sorted = pa.Array.from_buffers(
+            pa.utf8(), ntok,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(b"".join(val_chunks))],
+        )
+        aidx_sorted = (
+            pc.fill_null(
+                pc.index_in(
+                    pc.utf8_lower(toks_sorted), value_set=pa.array(anchor_firsts)
+                ),
+                -1,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        aidx = np.empty(ntok, dtype=np.int64)
+        aidx[order] = aidx_sorted
+        bits = np.where(aidx >= 0, anchor_widths[np.maximum(aidx, 0)], 0).astype(
+            np.int32
+        )
+
+        id_chunks, s_chunks, e_chunks, len_chunks, sval_chunks = [], [], [], [], []
+        for n in range(1, max_tokens + 1):
+            if ntok < n:
+                break
+            m_ = ntok - n + 1
+            ok = (line[:m_] == line[n - 1 :]) & (((bits[:m_] >> n) & 1) == 1)
+            s = tok_s[:m_][ok]
+            e = tok_e[n - 1 :][ok]
+            if not len(s):
+                continue
+            di = np.searchsorted(doc_off, s, side="right") - 1
+            rel_s = (s - doc_off[di]).astype(np.int32)
+            rel_e = (e - doc_off[di]).astype(np.int32)
+            Ls = e - s
+            o2 = np.argsort(Ls, kind="stable")
+            s2, L2 = s[o2], Ls[o2]
+            id_chunks.append(di[o2].astype(np.int32))
+            s_chunks.append(rel_s[o2])
+            e_chunks.append(rel_e[o2])
+            len_chunks.append(L2.astype(np.int64))
+            w2, ix2 = np.unique(L2, return_index=True)
+            b2 = np.append(ix2, len(L2))
+            for w, lo, hi in zip(w2, b2[:-1], b2[1:]):
+                if w == 0:
+                    continue
+                windows = np.lib.stride_tricks.sliding_window_view(arr, int(w))
+                sval_chunks.append(windows[s2[lo:hi]].tobytes())
+
+        empty = pd.DataFrame(
+            {
+                "document_id": pd.Series([], dtype="object"),
+                "start_index": pd.Series([], dtype="int32"),
+                "end_index": pd.Series([], dtype="int32"),
+                "text": pd.Series([], dtype="object"),
+                "gazetteer_entity_id": pd.Series([], dtype="object"),
+            }
+        )
+        if not id_chunks:
+            return empty
+        lens = np.concatenate(len_chunks)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        span_pa = pa.Array.from_buffers(
+            pa.utf8(), len(lens),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(b"".join(sval_chunks))],
+        )
+        midx = pc.index_in(pc.utf8_lower(span_pa), value_set=pa.array(alias_norms))
+        keep = pc.is_valid(midx)
+        kn = np.flatnonzero(keep.to_numpy(zero_copy_only=False))
+        if not len(kn):
+            return empty
+        ent_pa = pa.DictionaryArray.from_arrays(
+            midx.filter(keep).cast(pa.int32()), pa.array(alias_entities)
+        ).cast(pa.string())
+        ids_pa = pa.DictionaryArray.from_arrays(
+            pa.array(np.concatenate(id_chunks)[kn], type=pa.int32()),
+            pa.array(doc_ids, type=pa.string()),
+        ).cast(pa.string())
+        return pd.DataFrame(
+            {
+                "document_id": pd.Series(ids_pa, dtype=pd.ArrowDtype(pa.string())),
+                "start_index": pd.Series(np.concatenate(s_chunks)[kn], dtype="int32"),
+                "end_index": pd.Series(np.concatenate(e_chunks)[kn], dtype="int32"),
+                "text": pd.Series(
+                    span_pa.filter(keep), dtype=pd.ArrowDtype(pa.string())
+                ),
+                "gazetteer_entity_id": pd.Series(
+                    ent_pa, dtype=pd.ArrowDtype(pa.string())
+                ),
+            }
+        )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            fast_ids: list = []
+            fast_bytes: list = []
+            py_out: list = []
+            for did, text in zip(pdf["document_id"], pdf["text"]):
+                t = text or ""
+                b = t.encode("utf-8")
+                if len(b) == len(t):
+                    fast_ids.append(did)
+                    fast_bytes.append(b)
+                else:
+                    _python_doc(did, t, py_out)
+            frames = []
+            if fast_ids:
+                frames.append(_match_ascii(fast_ids, fast_bytes))
+            if py_out:
+                frames.append(
+                    pd.DataFrame(
+                        py_out,
+                        columns=[
+                            "document_id", "start_index", "end_index", "text",
+                            "gazetteer_entity_id",
+                        ],
+                    ).astype({"start_index": "int32", "end_index": "int32"})
+                )
+            if not frames:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "document_id": pd.Series([], dtype="object"),
+                            "start_index": pd.Series([], dtype="int32"),
+                            "end_index": pd.Series([], dtype="int32"),
+                            "text": pd.Series([], dtype="object"),
+                            "gazetteer_entity_id": pd.Series([], dtype="object"),
+                        }
+                    )
+                )
+            yield from frames
+
+    return src.mapInPandas(gen, schema)
+
+
 SPAN_MODES = ("window", "narrow", "arrow")
 
 
@@ -438,6 +755,7 @@ def detect_mentions(
     longest_match: bool = True,
     narrow_spans: bool = False,
     span_mode: str | None = None,
+    anchor_prune: bool = True,
 ) -> DataFrame:
     """Gazetteer mention detection (N1-analog + C6).
 
@@ -457,15 +775,35 @@ def detect_mentions(
     (round 4, 60k pages × mult 8): the Arrow/numpy form has the window
     form's CPU cost with the narrow form's zero token shuffle — see
     ``candidate_spans_arrow`` and BENCH/SCALING_EVIDENCE.md.
+
+    ``anchor_prune`` (default on; window mode) gates span materialization
+    on the :func:`alias_anchor_dim` necessary conditions — first token
+    starts some alias, span width in that alias set — before the span text
+    is ever built or probed. Output-identical for any gazetteer
+    (equivalence-tested); detection-only, so the generic ``enumerate_spans``
+    (N4 exhaustive enumeration) is unchanged.
     """
     mode = span_mode or ("narrow" if narrow_spans else "window")
-    spans = enumerate_spans(documents, max_tokens, mode)
-    gaz = gazetteer.select(
-        F.lower(F.col("alias")).alias("_alias_norm"), F.col("entity_id").alias("gazetteer_entity_id")
-    ).dropDuplicates(["_alias_norm"])
-    matches = spans.join(
-        F.broadcast(gaz), F.lower(spans["text"]) == gaz["_alias_norm"], "inner"
-    ).drop("_alias_norm")
+    if mode == "fused":
+        matches = _match_mentions_arrow(documents, gazetteer, max_tokens)
+    else:
+        if anchor_prune and mode == "window":
+            spans = _spans_window(
+                tokenize_with_offsets(documents),
+                max_tokens,
+                anchors=alias_anchor_dim(gazetteer, max_tokens),
+            )
+        else:
+            spans = enumerate_spans(documents, max_tokens, mode)
+        # min(entity_id) per normalized alias — deterministic on colliding
+        # cross-entity aliases (dropDuplicates would pick an arbitrary row)
+        # and identical to the fused matcher's driver-side dedupe
+        gaz = gazetteer.groupBy(
+            F.lower(F.col("alias")).alias("_alias_norm")
+        ).agg(F.min("entity_id").alias("gazetteer_entity_id"))
+        matches = spans.join(
+            F.broadcast(gaz), F.lower(spans["text"]) == gaz["_alias_norm"], "inner"
+        ).drop("_alias_norm")
 
     if longest_match:
         # prune spans contained in a longer match of the same doc — a single

@@ -52,14 +52,16 @@ class PipelineConfig:
     lsh_rows_per_band: int = 2
     link_threshold: float = 0.55
     max_mention_tokens: int = 4
-    # span enumeration form for mention detection: "window" (codegen'd
-    # token-shuffle windows — wins wall-clock on shared-memory hosts, the
-    # measured default), "narrow" (in-row HOF prefix sums, zero shuffle at
-    # 2.2x CPU), or "arrow" (mapInPandas + batch-global numpy gathers into
-    # pyarrow buffers — zero token shuffle at ~3-10% CPU tax on this host;
-    # the drop-in for network-bound clusters where the token exchange is
-    # 10-100x document bytes; see mentions.candidate_spans_arrow)
-    span_mode: str = "window"
+    # span enumeration form for mention detection: "fused" (anchor-pruned
+    # enumeration + alias matching inside one zero-shuffle mapInPandas pass
+    # — fastest at BOTH parallelism levels measured, round 4, and the 100 TB
+    # shape: only matched mentions leave the scan; see
+    # mentions._match_mentions_arrow), "window" (codegen'd token-shuffle
+    # windows, anchor-pruned by default since round 4), "narrow" (in-row HOF
+    # prefix sums, zero shuffle at 2.2x CPU), or "arrow" (mapInPandas
+    # batch-global numpy enumeration of ALL spans + broadcast gazetteer
+    # join; the generic-N4 zero-shuffle form)
+    span_mode: str = "fused"
     # prune near-zero tf·idf entries before the gram join (see
     # blocking.tfidf_vectors — the 100 TB hot-gram guard); None = exact
     tfidf_min_weight: float | None = 0.05

@@ -149,6 +149,94 @@ def test_detect_mentions_same_result_across_span_modes(spark):
         "entity_id string, alias string",
     )
     want = sorted(map(tuple, detect_mentions(docs, gaz, span_mode="window").collect()))
-    for mode in ("narrow", "arrow"):
+    for mode in ("narrow", "arrow", "fused"):
         got = sorted(map(tuple, detect_mentions(docs, gaz, span_mode=mode).collect()))
         assert got == want, mode
+
+
+def test_detect_mentions_anchor_prune_equivalence(spark):
+    """anchor_prune and the fused matcher are output-identical to the
+    unpruned join path — first-token + token-count equality are necessary
+    conditions of full-surface equality, so pruning on them drops nothing.
+    The gazetteer stresses the prune's edges: a single-token alias, an
+    alias longer than max_tokens (never matchable), consecutive spaces
+    (empty first token from split), case variants, and a numeric tail."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the amber anchor labs 3 report\nAMBER Anchor alone"),
+            ("d2", "zz top 9 and a  b and amber"),
+            ("d3", ""),
+        ],
+        "document_id string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [
+            ("E1", "amber"),
+            ("E2", "one two three four five"),
+            ("E3", "a  b"),
+            ("E4", "AMBER Anchor"),
+            ("E5", "zz top 9"),
+            ("E6", "amber anchor labs 3"),
+        ],
+        "entity_id string, alias string",
+    )
+    want = sorted(
+        map(tuple, detect_mentions(docs, gaz, anchor_prune=False).collect())
+    )
+    assert want  # fixture sanity: the prune must have matches to preserve
+    got_pruned = sorted(
+        map(tuple, detect_mentions(docs, gaz, anchor_prune=True).collect())
+    )
+    got_fused = sorted(
+        map(tuple, detect_mentions(docs, gaz, span_mode="fused").collect())
+    )
+    assert got_pruned == want
+    assert got_fused == want
+
+
+def test_detect_mentions_fused_non_ascii_fallback(spark):
+    """Non-ASCII documents route through the fused matcher's per-doc Python
+    path; results must match the join path exactly (offsets are CHAR
+    offsets, not byte offsets)."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "héllo wörld amber anchor\nzz top 9 amber"),
+            ("d2", "amber anchor labs 3 ünd more"),
+        ],
+        "document_id string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [
+            ("E1", "amber anchor"),
+            ("E2", "zz top 9"),
+            ("E3", "wörld"),
+            ("E4", "amber anchor labs 3"),
+        ],
+        "entity_id string, alias string",
+    )
+    want = sorted(
+        map(tuple, detect_mentions(docs, gaz, anchor_prune=False).collect())
+    )
+    got = sorted(map(tuple, detect_mentions(docs, gaz, span_mode="fused").collect()))
+    assert got == want
+    # the span invariant holds through the fallback: char-offset substr
+    m = detect_mentions(docs, gaz, span_mode="fused").withColumnRenamed(
+        "text", "mtext"
+    )
+    bad = (
+        m.join(docs, "document_id")
+        .filter(
+            F.expr("substr(text, start_index + 1, end_index - start_index)")
+            != F.col("mtext")
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_detect_mentions_fused_empty_gazetteer(spark):
+    docs = spark.createDataFrame(
+        [("d1", "some text here")], "document_id string, text string"
+    )
+    gaz = spark.createDataFrame([], "entity_id string, alias string")
+    assert detect_mentions(docs, gaz, span_mode="fused").count() == 0
