@@ -774,6 +774,34 @@ def q45_span_enumeration(spark, sf_dir):
     )
 
 
+def q46_gazetteer_mentions(spark, sf_dir):
+    """Fused gazetteer mention detection (N1/C6 + the round-4 fused matcher,
+    mentions._match_mentions_arrow): aliases derived deterministically from
+    the corpus itself (first 2 or 3 tokens of docs 0..99, by doc_id parity —
+    mixed widths so longest-match containment pruning actually fires),
+    matched over docs 0..39 with exact char offsets. Hard oracle: DuckDB
+    reproduces enumeration (q45 machinery), case-insensitive alias join with
+    min-entity dedupe, and the containment-pruning predicate."""
+    from e2e_el_spark.operators.mentions import detect_mentions
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("string").alias("document_id"), "text"
+    )
+    gaz = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.concat(F.lit("E"), F.col("doc_id").cast("string")).alias("entity_id"),
+            F.expr(
+                "concat_ws(' ', slice(split(text, ' '), 1,"
+                " CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END))"
+            ).alias("alias"),
+        )
+        .filter(F.length("alias") >= 3)
+    )
+    return detect_mentions(docs, gaz, max_tokens=3, span_mode="fused")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -821,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_mention_rebase": q43_mention_rebase,
         "q44_frame_sample": q44_frame_sample,
         "q45_span_enumeration": q45_span_enumeration,
+        "q46_gazetteer_mentions": q46_gazetteer_mentions,
     }
 
 
@@ -1333,6 +1362,86 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, s, s1 + l1 FROM w WHERE s1 IS NOT NULL
                 UNION ALL
                 SELECT doc_id, text, s, s2 + l2 FROM w WHERE s2 IS NOT NULL
+            )
+        """,
+        # q46: the q45 enumeration machinery (docs 0..39, widths 1..3) joined
+        # case-insensitively against a corpus-derived gazetteer (first 2/3
+        # tokens of docs 0..99 by parity, min entity per normalized alias),
+        # then the longest-match containment prune: drop a match iff a
+        # "preceding" match under (start asc, end desc) ends at-or-after it.
+        "q46_gazetteer_mentions": """
+            WITH gaz AS (
+                SELECT lower(alias) AS alias_norm,
+                       min(entity_id) AS gazetteer_entity_id
+                FROM (
+                    SELECT 'E' || CAST(doc_id AS VARCHAR) AS entity_id,
+                           array_to_string(list_slice(
+                               string_split(text, ' '), 1,
+                               CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END
+                           ), ' ') AS alias
+                    FROM documents WHERE doc_id < 100
+                )
+                WHERE length(alias) >= 3
+                GROUP BY 1
+            ),
+            base AS (
+                SELECT doc_id, text, string_split(text, ' ') AS l
+                FROM documents WHERE doc_id < 40
+            ),
+            toks AS (
+                SELECT doc_id, text,
+                       l[CAST(g.i AS INT) + 1] AS tok,
+                       CAST(g.i AS INT) + 1 AS i
+                FROM base, UNNEST(range(len(l))) AS g(i)
+            ),
+            pos AS (
+                SELECT doc_id, text, tok, i, CAST(length(tok) AS INT) AS len,
+                       CAST(COALESCE(SUM(length(tok) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS INT) AS s
+                FROM toks
+            ),
+            w AS (
+                SELECT doc_id, text, s, len,
+                       lead(s, 1) OVER win AS s1, lead(len, 1) OVER win AS l1,
+                       lead(s, 2) OVER win AS s2, lead(len, 2) OVER win AS l2
+                FROM pos
+                WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            spans AS (
+                SELECT CAST(doc_id AS VARCHAR) AS document_id,
+                       CAST(start_index AS INT) AS start_index,
+                       CAST(end_index AS INT) AS end_index,
+                       substr(text, start_index + 1,
+                              end_index - start_index) AS span_text
+                FROM (
+                    SELECT doc_id, text, s AS start_index, s + len AS end_index
+                    FROM w
+                    UNION ALL
+                    SELECT doc_id, text, s, s1 + l1 FROM w WHERE s1 IS NOT NULL
+                    UNION ALL
+                    SELECT doc_id, text, s, s2 + l2 FROM w WHERE s2 IS NOT NULL
+                )
+            ),
+            matches AS (
+                SELECT s.document_id, s.start_index, s.end_index,
+                       s.span_text AS text, g.gazetteer_entity_id
+                FROM spans s
+                JOIN gaz g ON lower(s.span_text) = g.alias_norm
+            )
+            SELECT m.document_id || '#' || CAST(m.start_index AS VARCHAR)
+                       || '-' || CAST(m.end_index AS VARCHAR) AS mention_id,
+                   m.document_id, m.start_index, m.end_index, m.text,
+                   m.gazetteer_entity_id
+            FROM matches m
+            WHERE NOT EXISTS (
+                SELECT 1 FROM matches o
+                WHERE o.document_id = m.document_id
+                  AND o.end_index >= m.end_index
+                  AND (o.start_index < m.start_index
+                       OR (o.start_index = m.start_index
+                           AND o.end_index > m.end_index))
             )
         """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
