@@ -53,6 +53,11 @@ def stream_mentions_to(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         docs = extract_documents(batch_df)
+        # anchor-pruned window form, not span_mode="fused": the fused
+        # matcher collects the gazetteer driver-side at plan-build time,
+        # which here would mean one extra KB job EVERY micro-batch; the
+        # two forms are output-identical (equivalence-tested), so batch
+        # parity is unaffected
         mentions = detect_mentions(docs, gazetteer, max_tokens)
         mentions.write.mode("append").parquet(out_path)
 

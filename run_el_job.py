@@ -42,7 +42,8 @@ def main() -> None:
         help="L3: cross-encoder rerank of the top-K candidates per surface; 0 disables",
     )
     ap.add_argument(
-        "--span-mode", default=None, choices=["window", "narrow", "arrow"],
+        "--span-mode", default=None,
+        choices=["fused", "window", "narrow", "arrow"],
         help="mention span enumerator: window (token-shuffle, codegen'd), "
         "narrow (in-row HOF), arrow (mapInPandas+numpy, zero token shuffle "
         "— the default)",
