@@ -44,8 +44,48 @@ def test_extract_prunes_stored_text_column(spark, tmp_path):
 def test_gazetteer_join_is_broadcast(spark):
     docs = spark.createDataFrame([("d1", "alpha beta")], "document_id string, text string")
     gaz = aliases_df(spark, 20, seed=42)
-    plan = _plan(detect_mentions(docs, gaz))
+    plan = _plan(detect_mentions(docs, gaz, span_mode="window"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fused_detector_plan_has_no_pre_scan_exchange(spark):
+    """The fused matcher's contract is structural: detection runs INSIDE the
+    document scan (MapInPandas directly over the source, no token shuffle,
+    no span explode, no join), and the only exchanges in the whole stage
+    sit ABOVE it, carrying matched-mention rows (longest-match window +
+    mention_id dedup)."""
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma")], "document_id string, text string"
+    )
+    gaz = aliases_df(spark, 20, seed=42)
+    plan = _plan(detect_mentions(docs, gaz, span_mode="fused"))
+    assert "MapInPandas" in plan, plan
+    # nothing below the python scan: no join, no explode/generate anywhere
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    below_scan = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below_scan, plan
+
+
+def test_anchor_pruned_window_form_gates_explode_on_anchor_join(spark):
+    """anchor_prune=True (window mode): the broadcast anchor join must sit
+    BETWEEN the token window pass and the span explode, so the 1..k row
+    expansion happens only for anchor tokens."""
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma")], "document_id string, text string"
+    )
+    gaz = aliases_df(spark, 20, seed=42)
+    plan = _plan(
+        detect_mentions(docs, gaz, span_mode="window", anchor_prune=True)
+    )
+    # the anchor dim is broadcast-joined on the lowered token...
+    assert "_anchor_first" in plan and "BroadcastHashJoin [lower(token" in plan, plan
+    # ...and every span variant inside the explode is width-gated
+    span_explode = next(
+        s for s in plan.split("+- Generate") if "start_index" in s.split("\n")[0]
+    )
+    head = span_explode.split("\n")[0]
+    assert "array_contains(_anchor_widths" in head, head
 
 
 def test_vocab_topk_is_distributed(spark):
