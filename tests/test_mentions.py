@@ -240,3 +240,52 @@ def test_detect_mentions_fused_empty_gazetteer(spark):
     )
     gaz = spark.createDataFrame([], "entity_id string, alias string")
     assert detect_mentions(docs, gaz, span_mode="fused").count() == 0
+
+
+def test_detect_mentions_mode_equivalence_property(spark):
+    """Property: all four detection forms agree on random corpora and
+    gazetteers — words drawn from a small alphabet so aliases collide with
+    document n-grams often, plus unicode words to force the fused matcher's
+    fallback, empty tokens (double spaces), newlines, and width-1..5
+    aliases (5 > max_tokens exercises the never-matchable prune)."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    words = st.sampled_from(["ab", "cd", "ef", "AB", "", "über", "x"])
+    doc_text = st.lists(
+        st.lists(words, min_size=0, max_size=6).map(" ".join),
+        min_size=1, max_size=3,
+    ).map("\n".join)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(doc_text, min_size=1, max_size=3),
+        aliases=st.lists(
+            st.lists(words, min_size=1, max_size=5).map(" ".join),
+            min_size=1, max_size=6,
+        ),
+    )
+    def run(texts, aliases):
+        docs = spark.createDataFrame(
+            [(f"d{i}", t) for i, t in enumerate(texts)],
+            "document_id string, text string",
+        )
+        gaz = spark.createDataFrame(
+            [(f"E{i}", a) for i, a in enumerate(aliases) if a.strip()],
+            "entity_id string, alias string",
+        )
+        if gaz.isEmpty():
+            return
+        want = sorted(
+            map(tuple, detect_mentions(docs, gaz, anchor_prune=False).collect())
+        )
+        for kw in (
+            {"anchor_prune": True},
+            {"span_mode": "fused"},
+            {"span_mode": "narrow"},
+            {"span_mode": "arrow"},
+        ):
+            got = sorted(map(tuple, detect_mentions(docs, gaz, **kw).collect()))
+            assert got == want, (kw, texts, aliases)
+
+    run()
