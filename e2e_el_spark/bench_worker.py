@@ -29,7 +29,7 @@ def main() -> None:
     # L3 rerank measured by default (EL_BENCH_RERANK=0 disables) so the bench
     # covers the full production pipeline incl. the 04b stage
     rerank = int(os.environ.get("EL_BENCH_RERANK", "5")) or None
-    # EL_SPAN_MODE A/Bs the three span enumerators (window/narrow/arrow)
+    # EL_SPAN_MODE A/Bs the four detection forms (fused/window/narrow/arrow)
     cfg = PipelineConfig(
         rerank_topk=rerank,
         span_mode=os.environ.get("EL_SPAN_MODE", PipelineConfig.span_mode),
