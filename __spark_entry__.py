@@ -802,6 +802,59 @@ def q46_gazetteer_mentions(spark, sf_dir):
     return detect_mentions(docs, gaz, max_tokens=3, span_mode="fused")
 
 
+def q47_wordpiece_greedy(spark, sf_dir):
+    """Greedy longest-match-first WordPiece segmentation (F3,
+    tokenization_bert.py:436-493) over the distinct words of docs 0..49,
+    with a corpus-derived vocab: full words of length <= 5, plus 4-char
+    prefixes and '##'-rest continuations for longer words NOT starting
+    with 'w' (those become per-word [UNK] — the reference's whole-word
+    fallback). Hard oracle: DuckDB precomputes the longest vocab match per
+    (word, position) and replays the greedy walk as a recursive CTE."""
+    from e2e_el_spark.operators.wordpiece import make_vocab, wordpiece_word
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    vocab_df = (
+        words.filter(F.length("word") <= 5).select(F.col("word").alias("v"))
+        .union(
+            words.filter(
+                (F.length("word") > 5) & ~F.col("word").startswith("w")
+            ).select(F.expr("substr(word, 1, 4)").alias("v"))
+        )
+        .union(
+            words.filter(
+                (F.length("word") > 5) & ~F.col("word").startswith("w")
+            ).select(F.concat(F.lit("##"), F.expr("substr(word, 5)")).alias("v"))
+        )
+        .distinct()
+    )
+    vocab = make_vocab(r["v"] for r in vocab_df.collect())
+
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(vocab)
+
+    def gen(batches):
+        v = bc.value
+        memo: dict = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": [
+                        " ".join(wordpiece_word(w, v, memo))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.mapInPandas(gen, "word string, pieces string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -850,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_frame_sample": q44_frame_sample,
         "q45_span_enumeration": q45_span_enumeration,
         "q46_gazetteer_mentions": q46_gazetteer_mentions,
+        "q47_wordpiece_greedy": q47_wordpiece_greedy,
     }
 
 
@@ -1443,6 +1497,73 @@ def oracle_sql() -> dict[str, str]:
                        OR (o.start_index = m.start_index
                            AND o.end_index > m.end_index))
             )
+        """,
+        # q47: greedy longest-match is replayed exactly — `bestp` holds the
+        # longest vocab match at every (word, position) (max(l) per group),
+        # the recursive CTE walks jumps from position 0; a position with no
+        # match poisons the word to the reference's whole-word [UNK].
+        "q47_wordpiece_greedy": """
+            WITH RECURSIVE words AS (
+                SELECT DISTINCT w
+                FROM (
+                    SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE doc_id < 50
+                )
+                WHERE length(w) > 0
+            ),
+            vocab AS (
+                SELECT DISTINCT v FROM (
+                    SELECT w AS v FROM words WHERE length(w) <= 5
+                    UNION ALL
+                    SELECT substr(w, 1, 4) FROM words
+                    WHERE length(w) > 5 AND w NOT LIKE 'w%'
+                    UNION ALL
+                    SELECT '##' || substr(w, 5) FROM words
+                    WHERE length(w) > 5 AND w NOT LIKE 'w%'
+                )
+            ),
+            matches AS (
+                SELECT words.w, CAST(p.pos AS INT) AS pos, CAST(l.l AS INT) AS l,
+                       CASE WHEN p.pos = 0 THEN substr(words.w, 1, CAST(l.l AS INT))
+                            ELSE '##' || substr(words.w, CAST(p.pos AS INT) + 1,
+                                                CAST(l.l AS INT)) END AS piece
+                FROM words,
+                     UNNEST(range(length(words.w))) AS p(pos),
+                     UNNEST(range(1, length(words.w) + 1)) AS l(l)
+                WHERE p.pos + l.l <= length(words.w)
+                  AND (CASE WHEN p.pos = 0
+                            THEN substr(words.w, 1, CAST(l.l AS INT))
+                            ELSE '##' || substr(words.w, CAST(p.pos AS INT) + 1,
+                                                CAST(l.l AS INT)) END)
+                      IN (SELECT v FROM vocab)
+            ),
+            bestp AS (
+                SELECT m.w, m.pos, m.l, m.piece
+                FROM matches m
+                JOIN (SELECT w, pos, max(l) AS jl FROM matches GROUP BY w, pos) b
+                  ON b.w = m.w AND b.pos = m.pos AND b.jl = m.l
+            ),
+            walk AS (
+                SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+                       false AS bad, CAST(length(w) AS INT) AS n
+                FROM words
+                UNION ALL
+                SELECT walk.w,
+                       CASE WHEN b.pos IS NULL THEN walk.n
+                            ELSE walk.pos + b.l END,
+                       CASE WHEN b.pos IS NULL THEN walk.pieces
+                            ELSE list_append(walk.pieces, b.piece) END,
+                       b.pos IS NULL,
+                       walk.n
+                FROM walk
+                LEFT JOIN bestp b ON b.w = walk.w AND b.pos = walk.pos
+                WHERE walk.pos < walk.n AND NOT walk.bad
+            )
+            SELECT w AS word,
+                   CASE WHEN bad THEN '[UNK]'
+                        ELSE array_to_string(pieces, ' ') END AS pieces
+            FROM walk
+            WHERE pos >= n
         """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
         # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank
