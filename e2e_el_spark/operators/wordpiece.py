@@ -218,6 +218,30 @@ def wordpiece_tokens(
     return df.select(*cols).mapInPandas(gen, schema)
 
 
+def pad_and_mask(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    max_len: int = 512,
+    pad_id: int = 0,
+) -> DataFrame:
+    """F12 padding/masking as pure column arithmetic: fixed-length
+    ``{ids_col}_padded`` (truncate-or-pad with ``pad_id``) and the matching
+     0/1 ``attention_mask`` (reference `utils_EL4QA.py` InputFeatures
+    input_ids/input_mask shape). No UDF — `slice`/`concat`/`array_repeat`
+    stay in codegen."""
+    ids = F.col(ids_col)
+    padded = F.slice(
+        F.concat(ids, F.array_repeat(F.lit(pad_id), max_len)), 1, max_len
+    )
+    mask = F.expr(
+        f"transform(sequence(1, {max_len}),"
+        f" i -> CASE WHEN i <= size({ids_col}) THEN 1 ELSE 0 END)"
+    )
+    return df.withColumn(f"{ids_col}_padded", padded).withColumn(
+        "attention_mask", mask
+    )
+
+
 def marked_mentions_tokenized(
     documents: DataFrame,
     mentions: DataFrame,

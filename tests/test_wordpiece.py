@@ -125,3 +125,20 @@ def test_marked_mentions_multiple_sorted(spark):
     assert r.tokens == ["[CLS]", "amber", "the", "anchor", "[SEP]"]
     assert r.mention_starts == [1, 3] and r.mention_ends == [1, 3]
     assert r.tags == ["O", "B", "O", "B", "O"]
+
+
+def test_pad_and_mask(spark):
+    from e2e_el_spark.operators.wordpiece import pad_and_mask
+
+    df = spark.createDataFrame(
+        [("a", [5, 6, 7]), ("b", []), ("c", [1, 2, 3, 4, 5, 6])],
+        "k string, token_ids array<int>",
+    )
+    out = {r.k: r for r in pad_and_mask(df, max_len=4, pad_id=0).collect()}
+    assert out["a"].token_ids_padded == [5, 6, 7, 0]
+    assert out["a"].attention_mask == [1, 1, 1, 0]
+    assert out["b"].token_ids_padded == [0, 0, 0, 0]
+    assert out["b"].attention_mask == [0, 0, 0, 0]
+    # truncation: ids beyond max_len dropped, mask saturated
+    assert out["c"].token_ids_padded == [1, 2, 3, 4]
+    assert out["c"].attention_mask == [1, 1, 1, 1]
