@@ -340,14 +340,23 @@ def main() -> None:
 
     write_bench_md(queries, scaling, sf_dir)
     total = round(sum(queries.values()), 2)
-    print(json.dumps({
+    out = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
         "throughput": scaling,
-    }))
+    }
+    # the per-round default campaign (60k pages, ~15 min) is serial-floor
+    # dominated by design — attach the curated >=480k campaigns (the
+    # north-rule evidence) so one JSON line carries both
+    try:
+        with open(os.path.join(REPO, "BENCH", "campaigns.json")) as f:
+            out["curated_campaigns"] = json.load(f)
+    except OSError:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
