@@ -256,9 +256,16 @@ def attach_normalized_efficiency(scaling: dict) -> None:
     # a measured value above 1 is drift, not attainable headroom.
     ceil = (scaling.get("machine_ceiling") or {}).get("cpu_efficiency_2_to_8")
     if eff is not None and ceil:
-        scaling["scaling_efficiency_normalized_to_ceiling"] = round(
-            eff / min(ceil, 1.0), 3
-        )
+        norm = round(eff / min(ceil, 1.0), 3)
+        scaling["scaling_efficiency_normalized_to_ceiling"] = norm
+        if norm > 1.0:
+            # the job out-scaled the probe's own window: the probe
+            # under-measured the machine, the job did not scale
+            # super-linearly — say so instead of reporting >1 silently
+            scaling["normalized_note"] = (
+                "normalized > 1 means the per-round ceiling probe landed in"
+                " a slow noise window; cite the raw number"
+            )
 
 
 def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
