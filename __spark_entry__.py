@@ -855,6 +855,63 @@ def q47_wordpiece_greedy(spark, sf_dir):
     return words.mapInPandas(gen, "word string, pieces string")
 
 
+def q48_marked_mention_tokens(spark, sf_dir):
+    """Tokenized marked-mention documents (the EL4QA variant,
+    utils_EL4QA.py:101-153) through operators.wordpiece
+    .marked_mentions_tokenized: docs 0..39 with one deterministic mention
+    per doc (words 2-3), q47's corpus-derived vocab. Hard oracle: DuckDB
+    composes the q47 greedy-walk pieces per word with the marker/tag
+    arithmetic ([CLS] offset, B on the first mention piece, I/O elsewhere,
+    DNT on ## continuations)."""
+    from e2e_el_spark.operators.wordpiece import make_vocab, marked_mentions_tokenized
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("string").alias("document_id"), "text"
+    )
+    docs = d.filter(F.size(F.split("text", " ")) >= 3)
+    w = F.split("text", " ")
+    mentions = docs.select(
+        "document_id",
+        (F.length(F.element_at(w, 1)) + 1).cast("int").alias("start_index"),
+        (
+            F.length(F.element_at(w, 1)) + 1
+            + F.length(F.element_at(w, 2)) + 1
+            + F.length(F.element_at(w, 3))
+        ).cast("int").alias("end_index"),
+    )
+    # q47's vocab rules, over the words of docs 0..49 (superset corpus —
+    # must match the oracle's vocab CTE exactly)
+    allw = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    vocab_df = (
+        allw.filter(F.length("word") <= 5).select(F.col("word").alias("v"))
+        .union(
+            allw.filter(
+                (F.length("word") > 5) & ~F.col("word").startswith("w")
+            ).select(F.expr("substr(word, 1, 4)").alias("v"))
+        )
+        .union(
+            allw.filter(
+                (F.length("word") > 5) & ~F.col("word").startswith("w")
+            ).select(F.concat(F.lit("##"), F.expr("substr(word, 5)")).alias("v"))
+        )
+        .distinct()
+    )
+    vocab = make_vocab(r["v"] for r in vocab_df.collect())
+    out = marked_mentions_tokenized(docs, mentions, vocab)
+    return out.select(
+        "document_id",
+        F.concat_ws(" ", "tokens").alias("tokens"),
+        F.concat_ws(" ", "tags").alias("tags"),
+        F.element_at("mention_starts", 1).alias("mention_start"),
+        F.element_at("mention_ends", 1).alias("mention_end"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -904,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_span_enumeration": q45_span_enumeration,
         "q46_gazetteer_mentions": q46_gazetteer_mentions,
         "q47_wordpiece_greedy": q47_wordpiece_greedy,
+        "q48_marked_mention_tokens": q48_marked_mention_tokens,
     }
 
 
@@ -1564,6 +1622,117 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_to_string(pieces, ' ') END AS pieces
             FROM walk
             WHERE pos >= n
+        """,
+        # q48: q47's greedy walk kept as per-word piece LISTS, then the
+        # marked-mention assembly in pure aggregation — tokens/tags flattened
+        # in (word, piece) order with [CLS]/[SEP] affixed, marker indices by
+        # piece-count prefix sums (start = 1 + |pieces(w1)|, end =
+        # |pieces(w1..3)|, 0-based over the [CLS]-prefixed sequence).
+        "q48_marked_mention_tokens": """
+            WITH RECURSIVE words AS (
+                SELECT DISTINCT w
+                FROM (
+                    SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE doc_id < 50
+                )
+                WHERE length(w) > 0
+            ),
+            vocab AS (
+                SELECT DISTINCT v FROM (
+                    SELECT w AS v FROM words WHERE length(w) <= 5
+                    UNION ALL
+                    SELECT substr(w, 1, 4) FROM words
+                    WHERE length(w) > 5 AND w NOT LIKE 'w%'
+                    UNION ALL
+                    SELECT '##' || substr(w, 5) FROM words
+                    WHERE length(w) > 5 AND w NOT LIKE 'w%'
+                )
+            ),
+            matches AS (
+                SELECT words.w, CAST(p.pos AS INT) AS pos, CAST(l.l AS INT) AS l,
+                       CASE WHEN p.pos = 0 THEN substr(words.w, 1, CAST(l.l AS INT))
+                            ELSE '##' || substr(words.w, CAST(p.pos AS INT) + 1,
+                                                CAST(l.l AS INT)) END AS piece
+                FROM words,
+                     UNNEST(range(length(words.w))) AS p(pos),
+                     UNNEST(range(1, length(words.w) + 1)) AS l(l)
+                WHERE p.pos + l.l <= length(words.w)
+                  AND (CASE WHEN p.pos = 0
+                            THEN substr(words.w, 1, CAST(l.l AS INT))
+                            ELSE '##' || substr(words.w, CAST(p.pos AS INT) + 1,
+                                                CAST(l.l AS INT)) END)
+                      IN (SELECT v FROM vocab)
+            ),
+            bestp AS (
+                SELECT m.w, m.pos, m.l, m.piece
+                FROM matches m
+                JOIN (SELECT w, pos, max(l) AS jl FROM matches GROUP BY w, pos) b
+                  ON b.w = m.w AND b.pos = m.pos AND b.jl = m.l
+            ),
+            walk AS (
+                SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+                       false AS bad, CAST(length(w) AS INT) AS n
+                FROM words
+                UNION ALL
+                SELECT walk.w,
+                       CASE WHEN b.pos IS NULL THEN walk.n
+                            ELSE walk.pos + b.l END,
+                       CASE WHEN b.pos IS NULL THEN walk.pieces
+                            ELSE list_append(walk.pieces, b.piece) END,
+                       b.pos IS NULL,
+                       walk.n
+                FROM walk
+                LEFT JOIN bestp b ON b.w = walk.w AND b.pos = walk.pos
+                WHERE walk.pos < walk.n AND NOT walk.bad
+            ),
+            wp AS (
+                SELECT w, CASE WHEN bad THEN ['[UNK]'] ELSE pieces END AS ps
+                FROM walk WHERE pos >= n
+            ),
+            docs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS did,
+                       string_split(text, ' ') AS l
+                FROM documents
+                WHERE doc_id < 40 AND len(string_split(text, ' ')) >= 3
+            ),
+            toks AS (
+                SELECT did, CAST(i.i AS INT) + 1 AS wi,
+                       l[CAST(i.i AS INT) + 1] AS w
+                FROM docs, UNNEST(range(len(l))) AS i(i)
+                WHERE l[CAST(i.i AS INT) + 1] <> ''
+            ),
+            pieces AS (
+                SELECT t.did, t.wi, CAST(j.j AS INT) + 1 AS pj,
+                       wp.ps[CAST(j.j AS INT) + 1] AS piece
+                FROM toks t
+                JOIN wp ON wp.w = t.w,
+                UNNEST(range(len(wp.ps))) AS j(j)
+            ),
+            tagged AS (
+                SELECT did, wi, pj, piece,
+                       CASE WHEN wi IN (2, 3) THEN
+                            CASE WHEN wi = 2 AND pj = 1 THEN 'B'
+                                 WHEN piece LIKE '##%' THEN 'DNT'
+                                 ELSE 'I' END
+                       ELSE CASE WHEN piece LIKE '##%' THEN 'DNT'
+                                 ELSE 'O' END END AS tag
+                FROM pieces
+            )
+            SELECT did AS document_id,
+                   array_to_string(
+                       list_prepend('[CLS]',
+                           list_append(list(piece ORDER BY wi, pj), '[SEP]')),
+                       ' ') AS tokens,
+                   array_to_string(
+                       list_prepend('O',
+                           list_append(list(tag ORDER BY wi, pj), 'O')),
+                       ' ') AS tags,
+                   CAST(1 + sum(CASE WHEN wi = 1 THEN 1 ELSE 0 END) AS INT)
+                       AS mention_start,
+                   CAST(sum(CASE WHEN wi <= 3 THEN 1 ELSE 0 END) AS INT)
+                       AS mention_end
+            FROM tagged
+            GROUP BY did
         """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
         # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank
