@@ -47,23 +47,33 @@ HEADLINE = [
 ]
 
 
-def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+def run_headline(sf_dir: str, cpus: int, reps: int = 3) -> dict[str, float]:
+    """Per-query MEDIAN over ``reps`` interleaved full passes.
+
+    A single pass lands in one noise window of this shared VM (round 4's
+    only driver-visible reading was a degraded window: q30 17.79s vs its
+    re-measured 9.85s median) — interleaving whole passes and reporting
+    per-query medians is the same ABBA discipline the scaling campaigns
+    use."""
+    import statistics
+
     from e2e_el_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="el_bench_queries", master=f"local[{cpus}]",
                       shuffle_partitions=min(cpus, 32))
     qs = entrymod.queries()
-    out: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # warm the parquet scans + JIT once with the cheapest query
     qs["q01_pricing_summary"](spark, sf_dir).count()
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 2)
+    for _ in range(max(reps, 1)):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
     spark.stop()
-    return out
+    return {name: round(statistics.median(ts), 2) for name, ts in samples.items()}
 
 
 def _cpu_work(n: int) -> int:
@@ -268,14 +278,16 @@ def attach_normalized_efficiency(scaling: dict) -> None:
             )
 
 
-def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
+def write_bench_md(queries: dict, scaling: dict, sf_dir: str, reps: int = 3) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
         "# BENCH — measured numbers (latest `python bench.py` run)",
         "",
-        f"Headline queries at `{sf_dir}`:",
+        f"Headline queries at `{sf_dir}` — per-query MEDIAN of {reps}",
+        "interleaved full passes (a single pass lands in one ±40% noise",
+        "window of this shared VM; see round-4 q30 17.79s vs 9.85s median):",
         "",
-        "| query | sec |",
+        "| query | median sec |",
         "| --- | --- |",
     ]
     lines += [f"| {k} | {v} |" for k, v in queries.items()]
@@ -323,12 +335,39 @@ def write_bench_md(queries: dict, scaling: dict, sf_dir: str) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def compact_throughput(scaling: dict) -> dict:
+    """Small projection of the scaling results for the FINAL printed line.
+
+    The driver captures only a ~2000-char stdout tail; round 4's full
+    scaling dict + campaigns blob pushed the headline metrics out of the
+    capture (BENCH_r04.json parsed:null). Keep the final line comfortably
+    under that: efficiencies + per-level throughput only. Full detail goes
+    to BENCH/BASELINE.md and an earlier stdout line."""
+    if not scaling:
+        return {}
+    out: dict = {}
+    for k in ("throughput_ratio", "scaling_efficiency",
+              "scaling_efficiency_best_of_trials",
+              "corpus_proportional_efficiency",
+              "scaling_efficiency_normalized_to_ceiling"):
+        if k in scaling:
+            out[k] = scaling[k]
+    for k, v in scaling.items():
+        if k.startswith("n") and isinstance(v, dict):
+            out[k] = {kk: v[kk] for kk in ("median_wall_s", "pages_per_sec") if kk in v}
+    ceil = scaling.get("machine_ceiling") or {}
+    if "cpu_efficiency_2_to_8" in ceil:
+        out["machine_ceiling_2_to_8"] = ceil["cpu_efficiency_2_to_8"]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(re.search(r"sf([\d.]+)", sf_dir).group(1)) if re.search(r"sf([\d.]+)", sf_dir) else 0.1
 
-    queries = run_headline(sf_dir, cpus)
+    reps = int(os.environ.get("EL_HEADLINE_REPS", "3"))
+    queries = run_headline(sf_dir, cpus, reps=reps)
 
     scaling: dict = {}
     if os.environ.get("EL_SKIP_SCALING") != "1":
@@ -345,25 +384,37 @@ def main() -> None:
             scaling["machine_ceiling"] = measure_machine_ceiling()
         attach_normalized_efficiency(scaling)
 
-    write_bench_md(queries, scaling, sf_dir)
+    write_bench_md(queries, scaling, sf_dir, reps=reps)
     total = round(sum(queries.values()), 2)
+    # Full scaling detail + curated campaigns on EARLIER stdout lines (and
+    # in BENCH/ files) — the driver tail-captures ~2000 chars, so the FINAL
+    # line must stay compact or the headline metrics are lost (round 4's
+    # BENCH_r04.json parsed:null came from inlining the campaigns blob).
+    if scaling:
+        print("SCALING_FULL " + json.dumps(scaling))
+    try:
+        with open(os.path.join(REPO, "BENCH", "campaigns.json")) as f:
+            print("CURATED_CAMPAIGNS " + json.dumps(json.load(f)))
+    except OSError:
+        pass
     out = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        "throughput": scaling,
+        "headline_reps": reps,
+        "throughput": compact_throughput(scaling),
+        "curated_campaigns_ref": "BENCH/campaigns.json",
+        "scaling_evidence_ref": "BENCH/SCALING_EVIDENCE.md",
     }
-    # the per-round default campaign (60k pages, ~15 min) is serial-floor
-    # dominated by design — attach the curated >=480k campaigns (the
-    # north-rule evidence) so one JSON line carries both
-    try:
-        with open(os.path.join(REPO, "BENCH", "campaigns.json")) as f:
-            out["curated_campaigns"] = json.load(f)
-    except OSError:
-        pass
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) >= 1900:
+        # degrade rather than lose the whole line to the tail capture
+        out["throughput"] = {k: v for k, v in out["throughput"].items()
+                             if not isinstance(v, dict)}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":
