@@ -21,6 +21,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: utf8 arrays carry int32 offsets — one chunk's value buffer must stay
+#: under 2 GiB or the offset cumsum wraps negative (and
+#: ``pa.Array.from_buffers`` does not validate, silently corrupting span
+#: texts). Exhaustive 1..4-gram enumeration inflates text ~10×, so large
+#: mapInPandas batches of big docs can genuinely cross this.
+_UTF8_CHUNK_LIMIT = 2**31 - 1
+
+
+def _utf8_from_lens(lens, values: bytes):
+    """Zero-copy utf8 array from per-element byte lengths + a flat value
+    buffer, split at element boundaries into <2 GiB chunks.
+
+    Returns a ``pa.Array`` when one chunk suffices (the common case — the
+    hot path is unchanged) else a ``pa.ChunkedArray``; every consumer in
+    this module (``pc.utf8_lower`` / ``pc.index_in`` / ``.filter`` /
+    ``pd.Series(ArrowDtype)``) accepts both.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cum = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    if cum[-1] <= _UTF8_CHUNK_LIMIT:  # common case: one int32-safe chunk
+        return pa.Array.from_buffers(
+            pa.utf8(), len(lens),
+            [None, pa.py_buffer(cum.astype(np.int32).tobytes()),
+             pa.py_buffer(values)],
+        )
+    chunks = []
+    start = 0
+    while start < len(lens):
+        base = int(cum[start])
+        end = int(np.searchsorted(cum, base + _UTF8_CHUNK_LIMIT, side="right")) - 1
+        if end <= start:
+            # a single >2GiB element cannot come from a Spark string row
+            # (UTF8String is itself int32-bounded) — fail loudly, not wrap
+            raise ValueError("single string element exceeds 2 GiB")
+        offs = (cum[start : end + 1] - base).astype(np.int32)
+        chunks.append(
+            pa.Array.from_buffers(
+                pa.utf8(), end - start,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(values[base : int(cum[end])])],
+            )
+        )
+        start = end
+    return pa.chunked_array(chunks)
+
 
 def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
     """documents(document_id, text) →
@@ -446,13 +494,7 @@ def candidate_spans_arrow(documents: DataFrame, max_tokens: int = 4) -> DataFram
                 }
             )
         lens = np.concatenate(len_chunks)
-        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
-        np.cumsum(lens, out=offsets[1:])
-        values = b"".join(val_chunks)
-        text_pa = pa.Array.from_buffers(
-            pa.utf8(), len(lens),
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values)],
-        )
+        text_pa = _utf8_from_lens(lens, b"".join(val_chunks))
         ids_pa = pa.DictionaryArray.from_arrays(
             pa.array(np.concatenate(id_chunks), type=pa.int32()),
             pa.array(doc_ids, type=pa.string()),
@@ -470,7 +512,10 @@ def candidate_spans_arrow(documents: DataFrame, max_tokens: int = 4) -> DataFram
 
 
 def _match_mentions_arrow(
-    documents: DataFrame, gazetteer: DataFrame, max_tokens: int
+    documents: DataFrame,
+    gazetteer: DataFrame,
+    max_tokens: int,
+    max_collected_aliases: int | None = None,
 ) -> DataFrame:
     """Fused gazetteer matcher: anchor-pruned span enumeration AND alias
     lookup inside one zero-shuffle ``mapInPandas`` pass (the "fused arrow
@@ -488,10 +533,25 @@ def _match_mentions_arrow(
     Laziness note: the gazetteer (KB-bounded, ≪ corpus) is collected
     driver-side at plan-construction time — the Spark broadcast-variable
     pattern, same trade as ``operators.similarity``'s lazy-dim fallback.
-    Case folding uses utf8proc (``pyarrow.compute.utf8_lower``) on BOTH
-    sides, vs the JVM ``lower()`` of the join path — identical on ASCII and
-    common Latin; locale-exotic code points may differ (documented).
+    The collect is guarded by ``max_collected_aliases`` (default
+    ``EL_FUSED_MAX_ALIASES`` or 5,000,000 — ~hundreds of MB of driver heap
+    at web-KB alias lengths): past the limit the matcher raises instead of
+    silently betting driver memory; callers should fall back to
+    ``span_mode="window"`` (broadcast/shuffle join picks itself via AQE).
+
+    Case folding: aliases are collected RAW and folded driver-side with
+    Python ``str.lower()`` — the SAME function the non-ASCII doc path
+    probes with, so alias map and probe can never disagree. The ASCII doc
+    path probes with utf8proc (``pc.utf8_lower``), which is byte-identical
+    to ``str.lower()`` on the pure-ASCII spans that path matches, so the
+    one folding is consistent across both fused sub-paths (round-4 verdict
+    carried three divergent foldings here). The window-join path folds
+    both sides with JVM ``lower()`` — internally consistent; Python and
+    Java 17 both track recent Unicode so fused == window holds on
+    non-Latin scripts too (equivalence property-tested incl. Cyrillic /
+    Greek final sigma / Turkish dotted-dotless I).
     """
+    import os
     from collections.abc import Iterator
 
     import numpy as np
@@ -499,16 +559,40 @@ def _match_mentions_arrow(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    rows = (
-        gazetteer.select(
-            F.lower(F.col("alias")).alias("n"), F.col("entity_id").alias("e")
+    if max_collected_aliases is None:
+        max_collected_aliases = int(
+            os.environ.get("EL_FUSED_MAX_ALIASES", "5000000")
         )
-        .groupBy("n")
-        .agg(F.min("e").alias("e"))
+    # raw-alias dedupe happens JVM-side (bounds the collect to distinct
+    # aliases); folding happens DRIVER-side so it uses the match-time
+    # function. limit(n+1) bounds the transferred rows even when the guard
+    # trips — the error costs one truncated collect, not an OOM.
+    rows = (
+        gazetteer.groupBy(F.col("alias").alias("a"))
+        .agg(F.min("entity_id").alias("e"))
+        .limit(max_collected_aliases + 1)
         .collect()
     )
-    alias_norms = [r["n"] for r in rows]
-    alias_entities = [r["e"] for r in rows]
+    if len(rows) > max_collected_aliases:
+        raise ValueError(
+            f"fused gazetteer matcher: >{max_collected_aliases} distinct"
+            " aliases — too large to collect driver-side; raise"
+            " EL_FUSED_MAX_ALIASES (costs driver heap) or use"
+            ' span_mode="window" (distributed gazetteer join)'
+        )
+    # min(entity_id) per FOLDED alias: two-level min (per raw alias on the
+    # cluster, per folded key here) == global min per folded key —
+    # deterministic on colliding cross-entity aliases and identical to the
+    # window path's groupBy(lower(alias)).agg(min) for ASCII keys
+    alias_map: dict = {}
+    for r in rows:
+        k = (r["a"] or "").lower()
+        e = r["e"]
+        prev = alias_map.get(k)
+        if prev is None or e < prev:
+            alias_map[k] = e
+    alias_norms = list(alias_map)
+    alias_entities = [alias_map[k] for k in alias_norms]
     # anchor dim: first token -> bitmask of alias token-counts (width w sets
     # bit w); aliases longer than max_tokens can never match
     anchor_bits: dict = {}
@@ -518,7 +602,6 @@ def _match_mentions_arrow(
             anchor_bits[parts[0]] = anchor_bits.get(parts[0], 0) | (1 << len(parts))
     anchor_firsts = list(anchor_bits)
     anchor_widths = np.asarray([anchor_bits[k] for k in anchor_firsts], dtype=np.int32)
-    alias_map = dict(zip(alias_norms, alias_entities))
 
     src = documents.select(
         F.col("document_id").cast("string").alias("document_id"), "text"
@@ -594,13 +677,7 @@ def _match_mentions_arrow(
                 continue
             windows = np.lib.stride_tricks.sliding_window_view(arr, int(w))
             val_chunks.append(windows[s_o[lo:hi]].tobytes())
-        lens_sorted = L_o.astype(np.int64)
-        offs = np.zeros(ntok + 1, dtype=np.int32)
-        np.cumsum(lens_sorted, out=offs[1:])
-        toks_sorted = pa.Array.from_buffers(
-            pa.utf8(), ntok,
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(b"".join(val_chunks))],
-        )
+        toks_sorted = _utf8_from_lens(L_o.astype(np.int64), b"".join(val_chunks))
         aidx_sorted = (
             pc.fill_null(
                 pc.index_in(
@@ -657,19 +734,17 @@ def _match_mentions_arrow(
         if not id_chunks:
             return empty
         lens = np.concatenate(len_chunks)
-        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
-        np.cumsum(lens, out=offsets[1:])
-        span_pa = pa.Array.from_buffers(
-            pa.utf8(), len(lens),
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(b"".join(sval_chunks))],
-        )
+        span_pa = _utf8_from_lens(lens, b"".join(sval_chunks))
         midx = pc.index_in(pc.utf8_lower(span_pa), value_set=pa.array(alias_norms))
         keep = pc.is_valid(midx)
         kn = np.flatnonzero(keep.to_numpy(zero_copy_only=False))
         if not len(kn):
             return empty
+        kept_idx = midx.filter(keep).cast(pa.int32())
+        if isinstance(kept_idx, pa.ChunkedArray):
+            kept_idx = kept_idx.combine_chunks()  # matched spans: small
         ent_pa = pa.DictionaryArray.from_arrays(
-            midx.filter(keep).cast(pa.int32()), pa.array(alias_entities)
+            kept_idx, pa.array(alias_entities)
         ).cast(pa.string())
         ids_pa = pa.DictionaryArray.from_arrays(
             pa.array(np.concatenate(id_chunks)[kn], type=pa.int32()),
@@ -733,6 +808,10 @@ def _match_mentions_arrow(
 
 
 SPAN_MODES = ("window", "narrow", "arrow")
+#: modes accepted by :func:`detect_mentions` — the three generic span
+#: enumerators plus "fused" (detection-only: enumeration + alias matching
+#: collapsed into one scan, no standalone span DataFrame exists)
+DETECT_MODES = SPAN_MODES + ("fused",)
 
 
 def enumerate_spans(
@@ -769,9 +848,13 @@ def detect_mentions(
     across reruns and parallelism levels (SURVEY.md §7.4: never
     monotonically_increasing_id).
 
-    ``span_mode`` selects the enumerator (``"window"`` / ``"narrow"`` /
-    ``"arrow"`` — see ``enumerate_spans``); ``narrow_spans=True`` is the
-    backward-compatible alias for ``span_mode="narrow"``. Measured trade
+    ``span_mode`` selects the detection form: one of the three generic
+    enumerators (``"window"`` / ``"narrow"`` / ``"arrow"`` — see
+    ``enumerate_spans``) followed by the broadcast gazetteer join, or
+    ``"fused"`` (the pipeline default) which collapses enumeration + alias
+    matching into one zero-shuffle scan (:func:`_match_mentions_arrow`);
+    ``narrow_spans=True`` is the backward-compatible alias for
+    ``span_mode="narrow"``. Measured trade
     (round 4, 60k pages × mult 8): the Arrow/numpy form has the window
     form's CPU cost with the narrow form's zero token shuffle — see
     ``candidate_spans_arrow`` and BENCH/SCALING_EVIDENCE.md.
@@ -784,6 +867,8 @@ def detect_mentions(
     (N4 exhaustive enumeration) is unchanged.
     """
     mode = span_mode or ("narrow" if narrow_spans else "window")
+    if mode not in DETECT_MODES:
+        raise ValueError(f"unknown span mode {mode!r}; one of {DETECT_MODES}")
     if mode == "fused":
         matches = _match_mentions_arrow(documents, gazetteer, max_tokens)
     else:

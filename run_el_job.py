@@ -44,9 +44,10 @@ def main() -> None:
     ap.add_argument(
         "--span-mode", default=None,
         choices=["fused", "window", "narrow", "arrow"],
-        help="mention span enumerator: window (token-shuffle, codegen'd), "
-        "narrow (in-row HOF), arrow (mapInPandas+numpy, zero token shuffle "
-        "— the default)",
+        help="mention detection form: fused (enumeration + alias matching "
+        "in one zero-shuffle scan — the default when unset), window "
+        "(token-shuffle, codegen'd), narrow (in-row HOF), arrow "
+        "(mapInPandas+numpy span enumeration, zero token shuffle)",
     )
     ap.add_argument(
         "--cc-checkpoint-dir", default=None,

@@ -289,3 +289,98 @@ def test_detect_mentions_mode_equivalence_property(spark):
             assert got == want, (kw, texts, aliases)
 
     run()
+
+
+def test_detect_mentions_mode_equivalence_non_latin(spark):
+    """Round-4 verdict #3: the fused matcher used THREE case foldings (JVM
+    lower for the alias map, utf8proc for ASCII docs, Python str.lower for
+    non-ASCII docs) — divergent on locale-exotic codepoints. Now aliases
+    are collected raw and folded with the match-time function, so fused ==
+    window must hold on non-Latin scripts where foldings historically
+    diverge: Cyrillic case pairs, Greek final sigma (context-sensitive
+    lowering), Turkish dotted/dotless I (U+0130 lowers to i + combining
+    dot), Kelvin sign K (U+212A lowers to ASCII k)."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    words = st.sampled_from(
+        ["МОСКВА", "москва", "ΟΔΥΣΣΕΥΣ", "οδυσσευς", "İzmir", "izmir",
+         "ISPARTA", "ısparta", "K", "k", "ab", "AB", ""]
+    )
+    doc_text = st.lists(
+        st.lists(words, min_size=0, max_size=5).map(" ".join),
+        min_size=1, max_size=2,
+    ).map("\n".join)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(doc_text, min_size=1, max_size=3),
+        aliases=st.lists(
+            st.lists(words, min_size=1, max_size=3).map(" ".join),
+            min_size=1, max_size=6,
+        ),
+    )
+    def run(texts, aliases):
+        docs = spark.createDataFrame(
+            [(f"d{i}", t) for i, t in enumerate(texts)],
+            "document_id string, text string",
+        )
+        gaz = spark.createDataFrame(
+            [(f"E{i}", a) for i, a in enumerate(aliases) if a.strip()],
+            "entity_id string, alias string",
+        )
+        if gaz.isEmpty():
+            return
+        want = sorted(
+            map(tuple, detect_mentions(docs, gaz, span_mode="window").collect())
+        )
+        got = sorted(
+            map(tuple, detect_mentions(docs, gaz, span_mode="fused").collect())
+        )
+        assert got == want, (texts, aliases)
+
+    run()
+
+
+def test_detect_mentions_fused_cross_case_non_ascii(spark):
+    """Uppercase Cyrillic alias vs lowercase Cyrillic document text (and
+    vice versa) must match through the fused matcher's Python fallback —
+    the exact path-pair whose foldings diverged in round 4."""
+    docs = spark.createDataFrame(
+        [("d0", "в москва сегодня"), ("d1", "В МОСКВА СЕГОДНЯ")],
+        "document_id string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("E1", "МОСКВА"), ("E2", "сегодня")], "entity_id string, alias string"
+    )
+    for mode in ("fused", "window"):
+        got = {
+            (r.document_id, r.text, r.gazetteer_entity_id)
+            for r in detect_mentions(docs, gaz, span_mode=mode).collect()
+        }
+        assert got == {
+            ("d0", "москва", "E1"), ("d0", "сегодня", "E2"),
+            ("d1", "МОСКВА", "E1"), ("d1", "СЕГОДНЯ", "E2"),
+        }, mode
+
+
+def test_detect_mentions_fused_alias_limit(spark):
+    """The fused matcher's driver-side gazetteer collect is guarded: past
+    max_collected_aliases it raises with the window-join fallback named,
+    instead of silently betting driver memory (round-4 verdict #6)."""
+    import pytest
+
+    from e2e_el_spark.operators.mentions import _match_mentions_arrow
+
+    docs = spark.createDataFrame(
+        [("d0", "a b c")], "document_id string, text string"
+    )
+    gaz = spark.createDataFrame(
+        [(f"E{i}", f"alias{i}") for i in range(10)],
+        "entity_id string, alias string",
+    )
+    with pytest.raises(ValueError, match="span_mode"):
+        _match_mentions_arrow(docs, gaz, 4, max_collected_aliases=5).count()
+    # at-limit passes
+    out = _match_mentions_arrow(docs, gaz, 4, max_collected_aliases=10)
+    assert out.count() == 0
