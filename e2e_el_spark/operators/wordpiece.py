@@ -68,7 +68,9 @@ def _is_punct(ch: str) -> bool:
 class _LazyTable(dict):
     """str.translate table that computes each codepoint's mapping on first
     sight and caches it — the per-char class logic runs once per distinct
-    codepoint, every later occurrence is a C-level dict hit."""
+    codepoint, every later occurrence is a C-level dict hit. Inherently
+    bounded: keys are codepoints, so the table can never exceed 0x110000
+    entries (a few tens of MB worst case) regardless of corpus content."""
 
     def __init__(self, fn):
         super().__init__()
@@ -144,6 +146,14 @@ def _greedy_split(word: str, vocab: dict) -> list[str] | None:
     return pieces
 
 
+#: per-worker greedy-split memo cap. Zipfian text saturates well below
+#: this; an adversarial/high-entropy corpus would otherwise grow the memo
+#: without bound (round-4 verdict #5). Past the cap the split is computed
+#: but not cached — correctness unchanged, memory bounded at roughly
+#: cap × (avg word + pieces) bytes (~hundreds of MB worst case at 1M).
+_MEMO_MAX = 1_000_000
+
+
 def wordpiece_word(word: str, vocab: dict, memo: dict) -> list[str]:
     got = memo.get(word)
     if got is None:
@@ -151,7 +161,8 @@ def wordpiece_word(word: str, vocab: dict, memo: dict) -> list[str]:
             got = [UNK]
         else:
             got = _greedy_split(word, vocab) or [UNK]
-        memo[word] = got
+        if len(memo) < _MEMO_MAX:
+            memo[word] = got
     return got
 
 
@@ -262,18 +273,30 @@ def marked_mentions_tokenized(
       tag them — we pad with O to keep ``len(tags) == len(tokens)``).
 
     Mentions are processed in ``start_index`` order with the text between
-    consecutive mentions tokenized separately — overlapping mentions are
-    the caller's responsibility (same as the reference, whose
-    ``prev_end_index`` walk assumes sorted, disjoint spans). The heavy
-    grouping is one exchange of mention rows to their document partition
-    (`applyInPandas` co-group); documents without mentions still emit a
-    [CLS]/text/[SEP] row.
+    consecutive mentions tokenized separately. The reference's
+    ``prev_end_index`` walk assumes sorted DISJOINT spans — but this
+    engine's own detector can emit overlapping spans (containment pruning
+    off), and ``t[prev:a]`` with ``a < prev`` slices negatively, silently
+    mis-tagging everything after (round-4 verdict #4). So overlaps are
+    resolved HERE: spans are walked longest-first per start offset and any
+    span overlapping the previously kept one is dropped — the same
+    longest-match preference as ``detect_mentions`` — as is any span whose
+    surface tokenizes to zero pieces (whitespace-only: no token range
+    exists to mark). The drop count is
+    observable via the ``overlap_dropped`` accumulator attached to the
+    returned DataFrame as ``df.overlap_dropped_acc`` (read ``.value``
+    after an action). Disjoint inputs are untouched.
+
+    The heavy grouping is one exchange of mention rows to their document
+    partition (`applyInPandas` co-group); documents without mentions still
+    emit a [CLS]/text/[SEP] row.
     """
     import pandas as pd
 
     vd = vocab if isinstance(vocab, dict) else make_vocab(vocab)
     sc = documents.sparkSession.sparkContext
     bc = sc.broadcast(vd)
+    dropped_acc = sc.accumulator(0)
     docs = documents.select("document_id", "text")
     ms = mentions.select("document_id", "start_index", "end_index")
     joined = docs.join(
@@ -309,13 +332,33 @@ def marked_mentions_tokenized(
                 tags = ["O"]
                 starts, ends = [], []
                 prev = 0
-                for s in list(spans) if spans is not None else []:
-                    a, b = int(s["start_index"]), int(s["end_index"])
+                raw = (
+                    sorted(
+                        ((int(s["start_index"]), int(s["end_index"]))
+                         for s in spans),
+                        key=lambda ab: (ab[0], -ab[1]),
+                    )
+                    if spans is not None
+                    else []
+                )
+                kept = []
+                for a, b in raw:
+                    if kept and a < kept[-1][1]:  # overlaps previous kept
+                        dropped_acc.add(1)
+                        continue
+                    kept.append((a, b))
+                for a, b in kept:
+                    mtoks = seg(t[a:b])
+                    if not mtoks:
+                        # whitespace/control-only surface: zero pieces, so
+                        # no token range exists to mark — emitting markers
+                        # would yield end < start. Dropped + counted.
+                        dropped_acc.add(1)
+                        continue
                     for p in seg(t[prev:a]):
                         tokens.append(p)
                         tags.append("DNT" if p.startswith("##") else "O")
                     starts.append(len(tokens))
-                    mtoks = seg(t[a:b])
                     for j, p in enumerate(mtoks):
                         tokens.append(p)
                         tags.append(
@@ -344,4 +387,6 @@ def marked_mentions_tokenized(
                 ],
             )
 
-    return joined.mapInPandas(gen, schema)
+    out = joined.mapInPandas(gen, schema)
+    out.overlap_dropped_acc = dropped_acc
+    return out

@@ -142,3 +142,87 @@ def test_pad_and_mask(spark):
     # truncation: ids beyond max_len dropped, mask saturated
     assert out["c"].token_ids_padded == [1, 2, 3, 4]
     assert out["c"].attention_mask == [1, 1, 1, 1]
+
+
+def test_marked_mentions_overlapping_spans_dropped(spark):
+    """Overlapping mention spans used to slice negatively (t[prev:a] with
+    a < prev) and silently mis-tag the rest of the document. Policy now:
+    longest-first per start, any span overlapping the previously kept one
+    is dropped, with the count observable on the accumulator."""
+    #       0123456789012345678901
+    text = "the amber anchor here"
+    docs = spark.createDataFrame(
+        [("d1", text)], "document_id string, text string"
+    )
+    # (4,16) amber anchor; (10,16) anchor contained; (14,20) overlaps tail
+    mentions = spark.createDataFrame(
+        [("d1", 4, 16), ("d1", 10, 16), ("d1", 14, 20)],
+        "document_id string, start_index int, end_index int",
+    )
+    out = marked_mentions_tokenized(docs, mentions, VOCAB)
+    r = out.collect()[0]
+    assert out.overlap_dropped_acc.value == 2
+    # only the longest span survives; tagging is well-formed
+    assert r.mention_starts == [2] and r.mention_ends == [3]
+    assert len(r.tags) == len(r.tokens) == len(r.token_ids)
+    assert r.tokens[r.mention_starts[0] : r.mention_ends[0] + 1] == [
+        "amber", "anchor",
+    ]
+    # identical output to passing only the kept span
+    disjoint = spark.createDataFrame(
+        [("d1", 4, 16)], "document_id string, start_index int, end_index int"
+    )
+    want = marked_mentions_tokenized(docs, disjoint, VOCAB).collect()[0]
+    assert (r.tokens, r.tags, r.mention_starts, r.mention_ends) == (
+        want.tokens, want.tags, want.mention_starts, want.mention_ends,
+    )
+
+
+def test_marked_mentions_overlap_property(spark):
+    """Random (possibly wildly overlapping) spans never produce negative
+    slices: len(tags)==len(tokens), marker indices in range, B count ==
+    kept span count."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    text = "aa bb cc dd ee ff gg"
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        spans=st.lists(
+            st.tuples(
+                st.integers(0, len(text) - 1), st.integers(1, len(text))
+            ).map(lambda ab: (min(ab), max(ab)) if ab[0] != ab[1] else (ab[0], ab[1] + 1)),
+            min_size=1, max_size=6,
+        )
+    )
+    def run(spans):
+        docs = spark.createDataFrame(
+            [("d1", text)], "document_id string, text string"
+        )
+        ms = spark.createDataFrame(
+            [("d1", a, b) for a, b in spans],
+            "document_id string, start_index int, end_index int",
+        )
+        r = marked_mentions_tokenized(docs, ms, VOCAB).collect()[0]
+        assert len(r.tags) == len(r.tokens) == len(r.token_ids)
+        assert all(0 < s < len(r.tokens) for s in r.mention_starts)
+        assert all(s <= e < len(r.tokens) for s, e in zip(r.mention_starts, r.mention_ends))
+        assert r.tags.count("B") == len(r.mention_starts)
+        assert r.tokens[0] == "[CLS]" and r.tokens[-1] == "[SEP]"
+
+    run()
+
+
+def test_wordpiece_memo_cap(monkeypatch):
+    """Past _MEMO_MAX distinct words the memo stops growing but results
+    stay correct (computed, not cached)."""
+    from e2e_el_spark.operators import wordpiece as wp
+
+    monkeypatch.setattr(wp, "_MEMO_MAX", 2)
+    vocab = {"aa": 0, "bb": 1, "cc": 2, "dd": 3, UNK: 4}
+    memo: dict = {}
+    for w in ["aa", "bb", "cc", "dd", "zz", "aa"]:
+        got = wp.wordpiece_word(w, vocab, memo)
+        assert got == ([w] if w in vocab else [UNK])
+    assert len(memo) == 2  # capped, later words computed uncached
