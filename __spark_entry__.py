@@ -912,6 +912,63 @@ def q48_marked_mention_tokens(spark, sf_dir):
     )
 
 
+def q49_er_blocked_clusters(spark, sf_dir):
+    """The flagship ER dataflow — token-prefix blocking → same-block pairs
+    → pairwise similarity scoring → threshold links → connected
+    components — as ONE composed query with a FULL DuckDB oracle (round-4
+    verdict #5: q34 is rows-only solely because its scoring uses hash
+    embeddings; this variant's score is exactly replayable, so the whole
+    pairs→links→recursive-CTE-CC chain is value-checked end-to-end).
+
+    Score = word-set Jaccard of the 40-char surface prefix: integer set
+    sizes + one IEEE division are bit-identical across Spark and DuckDB.
+    (Jaro-Winkler was tried first — the engine's textbook implementation
+    and DuckDB's ``jaro_winkler_similarity`` agree on equal-length strings
+    but diverge on unequal lengths, e.g. jw('babc','caaccbac') 0.5417 vs
+    0.5972, so JW stays in the pandas-UDF scoring paths (q34, pipeline)
+    where the check is rows-only/pytest.)
+
+    Uses the engine's own operators: ``with_block_key`` (north-star
+    token-prefix key), ``same_block_pairs`` (cap raised out of range —
+    the oracle replays the UNCAPPED pair set), codegen array-set
+    arithmetic for the score (no Python at all in this variant), and the
+    delta-iteration ``connected_components``. Cluster label = min doc_id
+    of the component; singletons label themselves."""
+    from e2e_el_spark.operators.blocking import same_block_pairs, with_block_key
+    from e2e_el_spark.operators.clustering import connected_components
+
+    recs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_distinct(
+            F.split(F.lower(F.substring("text", 1, 40)), " ")
+        ).alias("words"),
+        "text",
+    )
+    keyed = with_block_key(recs, "text", k=4).select("doc_id", "block_key", "words")
+    pairs = same_block_pairs(keyed, "doc_id", max_block_size=1_000_000)
+    sa = keyed.select(F.col("doc_id").alias("id_a"), F.col("words").alias("wa"))
+    sb = keyed.select(F.col("doc_id").alias("id_b"), F.col("words").alias("wb"))
+    links = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("wa", "wb"))
+            / F.size(F.array_union("wa", "wb")),
+        )
+        .filter(F.col("jac") >= 0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assign = connected_components(links)
+    return (
+        recs.select("doc_id")
+        .join(assign, recs["doc_id"] == assign["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -962,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_gazetteer_mentions": q46_gazetteer_mentions,
         "q47_wordpiece_greedy": q47_wordpiece_greedy,
         "q48_marked_mention_tokens": q48_marked_mention_tokens,
+        "q49_er_blocked_clusters": q49_er_blocked_clusters,
     }
 
 
@@ -1734,7 +1792,41 @@ def oracle_sql() -> dict[str, str]:
             FROM tagged
             GROUP BY did
         """,
+        # the composed flagship dataflow with an exactly-replayable score:
+        # token-prefix blocking -> same-block pairs -> word-set-Jaccard
+        # links (integer set sizes + one IEEE division: bit-identical
+        # across engines) -> recursive-CTE transitive closure, min-id
+        # cluster labels
+        "q49_er_blocked_clusters": """
+            WITH RECURSIVE recs AS (
+              SELECT doc_id,
+                     lower(substr(split_part(text, ' ', 1), 1, 4)) AS blk,
+                     list_distinct(
+                       string_split(lower(substr(text, 1, 40)), ' ')
+                     ) AS ws
+              FROM documents),
+            links AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM recs a JOIN recs b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
+            sym AS (SELECT ia AS a, ib AS b FROM links
+                    UNION SELECT ib, ia FROM links),
+            walk(node, label) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.label FROM sym s JOIN walk w ON w.node = s.b),
+            comp AS (SELECT node, min(label) AS cluster_id
+                     FROM walk GROUP BY node)
+            SELECT r.doc_id,
+                   CAST(coalesce(c.cluster_id, r.doc_id) AS BIGINT) AS cluster_id
+            FROM recs r LEFT JOIN comp c ON c.node = r.doc_id
+        """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
         # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank
-        # stand-in) — genuinely non-SQL-expressible; rows-only checks.
+        # stand-in) — genuinely non-SQL-expressible; rows-only checks. The
+        # composed pairs->links->CC dataflow itself IS oracle-checked via
+        # q49 (pure-SQL JW score); q34 stays rows-only only because its
+        # score mixes hash embeddings.
     }
