@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -62,6 +63,19 @@ class PipelineConfig:
     # batch-global numpy enumeration of ALL spans + broadcast gazetteer
     # join; the generic-N4 zero-shuffle form)
     span_mode: str = "fused"
+    # --- KB-size-aware plan decisions (round-5: the 5k-entity bench KB is
+    # NOT the realistic 10^5-10^6-entity dictionary scale; these thresholds
+    # switch plans instead of silently betting memory) ------------------
+    # Above this entity count the KB frames (entity TF-IDF vectors, block
+    # keys, alias names) lose their F.broadcast hints: a 10^6-entity KB's
+    # vector frame is tens of millions of rows, and a forced broadcast of
+    # that is a driver+executor memory bet. Without the hint the joins
+    # shuffle (AQE still picks broadcast when the actual size allows).
+    broadcast_kb_max_entities: int = 200_000
+    # Above this ALIAS count the detection stage falls back from the fused
+    # matcher (plan-time driver-side gazetteer collect,
+    # mentions._match_mentions_arrow) to the distributed window-join form.
+    fused_max_aliases: int = 2_000_000
     # prune near-zero tf·idf entries before the gram join (see
     # blocking.tfidf_vectors — the 100 TB hot-gram guard); None = exact
     tfidf_min_weight: float | None = 0.05
@@ -242,6 +256,7 @@ def build_kb_artifacts(
 def candidate_pairs(
     mentions: DataFrame, entities: DataFrame, cfg: PipelineConfig,
     kb: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    n_entities: int | None = None,
 ) -> DataFrame:
     """BLOCK + PAIRS at SURFACE level: (surface, entity_id, tfidf_cos).
 
@@ -255,14 +270,24 @@ def candidate_pairs(
     Candidates = (token-prefix blocks ∪ LSH-band blocks ∪ rare-gram inverted
     index with prefix filtering), then every candidate gets its EXACT TF-IDF
     cosine via a bounded rescore join, and the per-surface top-2k survive.
-    The entity side of every block join is broadcast — the KB is the small
-    dimension (SURVEY.md §1.3). ``kb`` takes precomputed
+    The entity side of every block join is broadcast while the KB is the
+    small dimension (SURVEY.md §1.3) — past
+    ``cfg.broadcast_kb_max_entities`` the KB-proportional frames drop the
+    hint and shuffle instead (see the ``kb_small`` note in the body).
+    ``kb`` takes precomputed
     (vocab, entity_vectors, entity_blocks) — see ``build_kb_artifacts`` —
     so the per-run plan touches only surface-side work; None builds them
     inline (one count job over the KB).
     """
     surfaces = mentions.select(F.col("text").alias("surface")).distinct().cache()
     vocab, ev, eb = kb if kb is not None else kb_frames(entities, cfg)
+    # ``n_entities`` drives the broadcast decision on the KB-PROPORTIONAL
+    # frames (entity vectors, entity blocks). Vocabulary-bounded frames
+    # (rare grams, distinct gram hashes — capped at cfg.vocab_size) stay
+    # broadcast at ANY KB size. None (size unknown: streaming/legacy
+    # callers) keeps the historical broadcast-the-KB behavior.
+    kb_small = n_entities is None or n_entities <= cfg.broadcast_kb_max_entities
+    _kb_side = F.broadcast if kb_small else (lambda df: df)
     sv = tfidf_vectors(
         surfaces, "surface", "surface", vocab, cfg.ngram_max, cfg.compat_ngrams,
         min_weight=cfg.tfidf_min_weight,
@@ -294,7 +319,7 @@ def candidate_pairs(
     sb = mention_block_keys(
         surfaces.select(F.col("surface").alias("mention_id"), F.col("surface").alias("text")), cfg
     ).select(F.col("mention_id").alias("surface"), "block_key")
-    blocked = sb.join(F.broadcast(eb), "block_key").select("surface", "entity_id")
+    blocked = sb.join(_kb_side(eb), "block_key").select("surface", "entity_id")
 
     cands = blocked.unionByName(gen).dropDuplicates(["surface", "entity_id"])
 
@@ -318,7 +343,7 @@ def candidate_pairs(
     sv_r = svh.join(F.broadcast(evh.select("_gh").distinct()), "_gh", "left_semi")
     rescored = (
         cands.join(sv_r, "surface")
-        .join(F.broadcast(evh), ["entity_id", "_gh"])
+        .join(_kb_side(evh), ["entity_id", "_gh"])
         .groupBy("surface", "entity_id")
         .agg(F.sum(F.col("weight") * F.col("_ew")).alias("tfidf_cos"))
     )
@@ -338,6 +363,7 @@ def candidate_pairs(
 def score_candidates(
     cands: DataFrame, mentions: DataFrame, entities: DataFrame, cfg: PipelineConfig,
     gazetteer: DataFrame | None = None,
+    n_entities: int | None = None,
 ) -> DataFrame:
     """Vectorized scoring UDFs per (surface, entity) pair + weighted combine.
 
@@ -352,7 +378,11 @@ def score_candidates(
         names = gazetteer.select("entity_id", F.col("alias").alias("text_b"))
     else:
         names = entities.select("entity_id", F.col("name").alias("text_b"))
-    pairs = cands.join(F.broadcast(names), "entity_id").withColumn(
+    # alias table is KB-proportional: broadcast only while the KB is small
+    # (see candidate_pairs) — past the threshold the equi-join shuffles
+    if n_entities is None or n_entities <= cfg.broadcast_kb_max_entities:
+        names = F.broadcast(names)
+    pairs = cands.join(names, "entity_id").withColumn(
         "text_a", F.col("surface")
     )
     scored = score_pairs(pairs, "text_a", "text_b", "tfidf_cos", cfg.weights)
@@ -416,6 +446,7 @@ def surface_context_windows(
 def rerank_candidates(
     scored: DataFrame, entities: DataFrame, cfg: PipelineConfig,
     context: DataFrame | None = None,
+    n_entities: int | None = None,
 ) -> DataFrame:
     """L3 stage: cross-encode the top-N candidates per surface against the
     candidate's canonical entity text and blend the scores
@@ -441,10 +472,10 @@ def rerank_candidates(
         text_a = "_ctx"
     else:
         text_a = "surface"
-    pairs = top.join(
-        F.broadcast(entities.select("entity_id", F.col("name").alias("_cand_text"))),
-        "entity_id",
-    )
+    cand_names = entities.select("entity_id", F.col("name").alias("_cand_text"))
+    if n_entities is None or n_entities <= cfg.broadcast_kb_max_entities:
+        cand_names = F.broadcast(cand_names)
+    pairs = top.join(cand_names, "entity_id")
     rr = rerank_cross(
         pairs, id_col="surface", cand_col="entity_id",
         text_a=text_a, text_b="_cand_text", k=cfg.rerank_topk,
@@ -521,25 +552,42 @@ def run_pipeline(
 
     cfg = cfg or PipelineConfig()
     runner = StageRunner(spark, workdir, fingerprint=cfg.fingerprint())
+    # one KB hash job per run (skipped when the caller passes the cached
+    # fingerprint of a frozen KB) — it also yields the entity COUNT that
+    # drives every KB-size plan decision below
+    kb_fp = kb_fingerprint or kb_content_fingerprint(entities)
+    n_entities = int(kb_fp.split(":", 1)[0])
 
     if cfg.langs is not None:
         pages = pages.filter(F.col("lang").isin(*cfg.langs))
     documents = runner.run("01_extract", lambda: extract_documents(pages))
 
+    def _detect(docs_df: DataFrame) -> DataFrame:
+        mode = cfg.span_mode
+        if mode == "fused" and gazetteer.count() > cfg.fused_max_aliases:
+            # the fused matcher collects the gazetteer driver-side at plan
+            # construction; past the alias threshold that is a driver-heap
+            # bet, so fall back to the distributed window-join detector.
+            # The count job is KB-bounded and only paid when this stage
+            # actually computes (resume skips the whole lambda).
+            logging.getLogger(__name__).warning(
+                "gazetteer exceeds fused_max_aliases=%d: falling back to"
+                " span_mode='window' for detection", cfg.fused_max_aliases,
+            )
+            mode = "window"
+        return detect_mentions(
+            docs_df, gazetteer, cfg.max_mention_tokens, span_mode=mode
+        )
+
     def _mentions() -> DataFrame:
         if cfg.segment_budget_chars is None:
-            return detect_mentions(
-                documents, gazetteer, cfg.max_mention_tokens, span_mode=cfg.span_mode
-            )
+            return _detect(documents)
         # W1: detect on budget-bounded segments, then translate spans back to
         # corpus coordinates so the rest of the pipeline (and the evaluation
         # join on (document_id, start, end)) never sees segment ids
         segs = segment_documents(documents, cfg.segment_budget_chars)
-        m = detect_mentions(
-            segs.select(F.col("segment_id").alias("document_id"), "text"),
-            gazetteer,
-            cfg.max_mention_tokens,
-            span_mode=cfg.span_mode,
+        m = _detect(
+            segs.select(F.col("segment_id").alias("document_id"), "text")
         )
         back = segs.select(
             F.col("segment_id"), F.col("document_id").alias("_orig"), "seg_start"
@@ -561,11 +609,17 @@ def run_pipeline(
     mentions = runner.run("02_mentions", _mentions)
     kb = build_kb_artifacts(
         spark, entities, cfg, kb_workdir or os.path.join(workdir, "_kb"),
-        kb_fingerprint=kb_fingerprint,
+        kb_fingerprint=kb_fp,
     )
-    cands = runner.run("03_pairs", lambda: candidate_pairs(mentions, entities, cfg, kb=kb))
+    cands = runner.run(
+        "03_pairs",
+        lambda: candidate_pairs(mentions, entities, cfg, kb=kb, n_entities=n_entities),
+    )
     scored = runner.run(
-        "04_scored", lambda: score_candidates(cands, mentions, entities, cfg, gazetteer)
+        "04_scored",
+        lambda: score_candidates(
+            cands, mentions, entities, cfg, gazetteer, n_entities=n_entities
+        ),
     )
     if cfg.rerank_topk is not None:
         ctx = (
@@ -574,7 +628,10 @@ def run_pipeline(
             else None
         )
         scored = runner.run(
-            "04b_rerank", lambda: rerank_candidates(scored, entities, cfg, context=ctx)
+            "04b_rerank",
+            lambda: rerank_candidates(
+                scored, entities, cfg, context=ctx, n_entities=n_entities
+            ),
         )
     links = runner.run(
         "05_links",

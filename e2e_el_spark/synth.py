@@ -278,20 +278,48 @@ def gold_mentions_df(spark, n_pages: int, n_entities: int = 200, seed: int = 42,
     return spark.range(0, n_pages, 1, partitions).mapInPandas(gen, MENTIONS_SCHEMA)
 
 
-def entities_df(spark, n_entities: int = 200, seed: int = 42):
-    """KB dimension table (entity_id, type, name) — broadcast at join sites."""
-    return spark.createDataFrame(
-        pd.DataFrame(entity_catalog(seed, n_entities)),
-        schema="entity_id string, type string, name string",
+def entities_df(spark, n_entities: int = 200, seed: int = 42, partitions: int | None = None):
+    """KB dimension table (entity_id, type, name).
+
+    Distributed generation (spark.range → mapInPandas), same pure
+    per-entity functions as before — a 10⁵-10⁶-entity KB (the realistic
+    candidate-dictionary scale, reference candidate_selection.py:28-37)
+    must not be built as a driver-side Python list. Content is identical
+    to the old driver-side path for any (seed, n_entities)."""
+    parts = partitions or max(1, min(32, n_entities // 10_000 or 1))
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "entity_id": [f"E{e:06d}" for e in idx],
+                    "type": [_TYPES[_rint(f"{seed}/e/{e}/t", len(_TYPES))] for e in idx],
+                    "name": [canonical_name(seed, e) for e in idx],
+                }
+            )
+
+    return spark.range(0, n_entities, 1, parts).mapInPandas(
+        gen, "entity_id string, type string, name string"
     )
 
 
-def aliases_df(spark, n_entities: int = 200, seed: int = 42):
-    """Gazetteer: (entity_id, alias, n_tokens) — every surface variant."""
-    rows = []
-    for e in range(n_entities):
-        for a in entity_aliases(seed, e):
-            rows.append({"entity_id": f"E{e:06d}", "alias": a, "n_tokens": len(a.split(" "))})
-    return spark.createDataFrame(
-        pd.DataFrame(rows), schema="entity_id string, alias string, n_tokens int"
+def aliases_df(spark, n_entities: int = 200, seed: int = 42, partitions: int | None = None):
+    """Gazetteer: (entity_id, alias, n_tokens) — every surface variant.
+    Distributed like :func:`entities_df` (≈4 aliases/entity: 4M rows at a
+    1M-entity KB)."""
+    parts = partitions or max(1, min(32, n_entities // 10_000 or 1))
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                e = int(i)
+                eid = f"E{e:06d}"
+                for a in entity_aliases(seed, e):
+                    rows.append((eid, a, len(a.split(" "))))
+            yield pd.DataFrame(rows, columns=["entity_id", "alias", "n_tokens"])
+
+    return spark.range(0, n_entities, 1, parts).mapInPandas(
+        gen, "entity_id string, alias string, n_tokens int"
     )

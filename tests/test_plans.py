@@ -140,3 +140,60 @@ def test_aggregation_uses_whole_stage_codegen_and_partial_agg(spark, tmp_path):
         df.explain("formatted")
     # '*' prefix / 'codegen id' mark whole-stage-codegen'd operators
     assert "codegen id" in buf.getvalue() or "WholeStageCodegen" in buf.getvalue(), buf.getvalue()
+
+
+def test_kb_broadcast_hint_dropped_past_threshold(spark):
+    """Round-5: above cfg.broadcast_kb_max_entities the KB-proportional
+    frames (entity vectors, entity blocks, alias names) must lose their
+    forced broadcast hints — a 10^6-entity KB through F.broadcast is a
+    silent memory bet. The hint (not the runtime strategy, which AQE may
+    still pick from actual tiny test sizes) is the assertable plan fact."""
+    from e2e_el_spark.pipeline import PipelineConfig, candidate_pairs, score_candidates
+    from e2e_el_spark.synth import aliases_df, entities_df
+
+    cfg = PipelineConfig()
+    ents = entities_df(spark, 30, seed=5)
+    gaz = aliases_df(spark, 30, seed=5)
+    mentions = gaz.select(
+        F.col("alias").alias("mention_id"), F.col("alias").alias("text")
+    )
+
+    def hint_count(df):
+        return _optimized(df).count("strategy=broadcast")
+
+    small = candidate_pairs(mentions, ents, cfg, n_entities=30)
+    big = candidate_pairs(mentions, ents, cfg, n_entities=10**9)
+    # vocabulary-bounded broadcasts remain in BOTH (>=1); the
+    # KB-proportional ones (entity blocks, entity vectors) must disappear
+    # in the big plan (exact counts are brittle: the optimizer duplicates
+    # shared subtrees, so a single dropped hint can vanish more than once)
+    assert hint_count(big) < hint_count(small), (
+        hint_count(small), hint_count(big),
+    )
+    assert hint_count(big) >= 1
+
+    cands = small.limit(5)
+    s_small = score_candidates(cands, mentions, ents, cfg, gaz, n_entities=30)
+    s_big = score_candidates(cands, mentions, ents, cfg, gaz, n_entities=10**9)
+    assert hint_count(s_big) < hint_count(s_small)
+
+
+def test_kb_scale_plan_decisions_output_invariant(spark, tmp_path):
+    """Forcing the large-KB plan paths (shuffle KB joins + window-mode
+    detection fallback) on a small input must give bit-identical clusters
+    to the default broadcast/fused paths — plan decisions are performance
+    only."""
+    from e2e_el_spark.pipeline import PipelineConfig, run_pipeline
+    from e2e_el_spark.synth import aliases_df, entities_df, pages_df
+
+    pages = pages_df(spark, 60, n_entities=30, seed=11, partitions=4)
+    ents = entities_df(spark, 30, seed=11)
+    gaz = aliases_df(spark, 30, seed=11)
+    base = run_pipeline(spark, pages, ents, gaz, str(tmp_path / "a"))
+    big_kb_cfg = PipelineConfig(broadcast_kb_max_entities=0, fused_max_aliases=0)
+    alt = run_pipeline(spark, pages, ents, gaz, str(tmp_path / "b"), big_kb_cfg)
+
+    def key(df):
+        return sorted((r.mention_id, r.cluster_id) for r in df.collect())
+
+    assert key(base) == key(alt)
