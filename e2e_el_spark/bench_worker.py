@@ -69,12 +69,30 @@ def main() -> None:
     walls = []
     n_clusters = 0
     stage_walls: dict[str, float] = {}
+    # EL_CC_CHECKPOINT_DIR: reliable per-round parquet checkpoints for the
+    # CC fixpoint instead of localCheckpoint — the measured "executor-loss
+    # tolerance tax" campaign knob (clustering.connected_components)
+    cc_dir = os.environ.get("EL_CC_CHECKPOINT_DIR") or None
     for _ in range(trials):
         shutil.rmtree(workdir, ignore_errors=True)
+        if cc_dir:
+            shutil.rmtree(cc_dir, ignore_errors=True)
         t0 = time.time()
-        n_clusters = run_pipeline(spark, pages, ents, gaz, workdir, cfg,
-                                  kb_workdir=kb_dir, kb_fingerprint=kb_fp).count()
+        clusters = run_pipeline(spark, pages, ents, gaz, workdir, cfg,
+                                kb_workdir=kb_dir, kb_fingerprint=kb_fp,
+                                cc_checkpoint_dir=cc_dir)
+        n_clusters = clusters.count()
         walls.append(round(time.time() - t0, 2))
+        # content hash (outside the timed window): campaign lines assert
+        # bit-identical output across parallelism levels / checkpoint modes
+        # by comparing this value, not just row counts
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        clusters_hash = clusters.agg(
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(mention_id, cluster_id))"), F.lit(0)
+            ).alias("h")
+        ).collect()[0]["h"]
         # per-stage walls from the lineage table — the scaling-decomposition
         # evidence (corpus-proportional stages vs the KB-bounded pairs stage)
         lin = spark.read.parquet(f"{workdir}/_lineage")
@@ -91,7 +109,9 @@ def main() -> None:
         "detect_mode": ("window" if (cfg.span_mode == "fused"
                                      and n_aliases > cfg.fused_max_aliases)
                         else cfg.span_mode),
-        "clusters": n_clusters, "walls_s": walls, "best_wall_s": best,
+        "cc_reliable_checkpoint": bool(cc_dir),
+        "clusters": n_clusters, "clusters_hash": clusters_hash,
+        "walls_s": walls, "best_wall_s": best,
         "pages_per_sec": round(n_pages / best, 1),
         "stage_walls_s": dict(sorted(stage_walls.items())),
     }))

@@ -84,6 +84,16 @@ class PipelineConfig:
     # ubiquitous grams still count in the exact rescore, they just don't
     # enumerate pairs
     max_gen_df_ratio: float = 0.02
+    # ...AND an ABSOLUTE df cap on candidate-GENERATING grams. The ratio
+    # alone scales the "rare" threshold with the KB (0.02·N = df ≤ 2,000 at
+    # a 100k-entity KB), so posting lists — and the Σ df_s·df_e pair
+    # enumeration — grow super-linearly with the dictionary: measured 65×
+    # 03_pairs wall for a 20× KB (round-5 KB-axis campaign, BENCH/
+    # SCALING_EVIDENCE.md). Capping df absolutely bounds every posting
+    # list independent of KB size; common grams still feed the exact
+    # rescore, they just never enumerate. 500 leaves the ≤25k-entity
+    # behavior exactly unchanged (ratio threshold < cap there).
+    max_gen_df_abs: int = 500
     # prefix filtering: only each vector's gen_prefix_len RAREST grams
     # enumerate candidates (a true near-match must share one of them)
     gen_prefix_len: int = 6
@@ -162,7 +172,8 @@ def _kb_vocab(entities: DataFrame, cfg: PipelineConfig, n_entities: int) -> Data
     (and hence absolute cosines) shifts — the pairwise F1 gate holds.
 
     ``is_rare`` pre-marks grams eligible to ENUMERATE candidates
-    (df ≤ max(2, max_gen_df_ratio · n_entities)) so downstream needs no
+    (df ≤ max(2, min(max_gen_df_ratio · n_entities, max_gen_df_abs))) so
+    downstream needs no
     corpus count job.
     """
     vocab = build_tfidf_vocab(
@@ -170,7 +181,7 @@ def _kb_vocab(entities: DataFrame, cfg: PipelineConfig, n_entities: int) -> Data
         "cid", "ctext", cfg.ngram_max, cfg.vocab_size, cfg.compat_ngrams,
         n_docs=n_entities,
     )
-    thr = max(2.0, cfg.max_gen_df_ratio * n_entities)
+    thr = max(2.0, min(cfg.max_gen_df_ratio * n_entities, cfg.max_gen_df_abs))
     return vocab.withColumn("is_rare", F.col("df") <= F.lit(thr))
 
 
@@ -321,7 +332,14 @@ def candidate_pairs(
     ).select(F.col("mention_id").alias("surface"), "block_key")
     blocked = sb.join(_kb_side(eb), "block_key").select("surface", "entity_id")
 
-    cands = blocked.unionByName(gen).dropDuplicates(["surface", "entity_id"])
+    # persisted: ``cands`` feeds BOTH the rescore subtree and the final
+    # left join below — without materialization the whole blocked∪gen
+    # dedup computes twice (doubles the dominant cost at a large KB)
+    cands = (
+        blocked.unionByName(gen)
+        .dropDuplicates(["surface", "entity_id"])
+        .persist()
+    )
 
     # --- exact rescore of candidates only: cands ⋈ surface vectors ⋈ entity
     # vectors on (entity_id, gram), hash-agg the products. Cost is
