@@ -97,6 +97,13 @@ class PipelineConfig:
     # prefix filtering: only each vector's gen_prefix_len RAREST grams
     # enumerate candidates (a true near-match must share one of them)
     gen_prefix_len: int = 6
+    # per-surface budget for inverted-index GENERATED candidates, ranked by
+    # partial dot over the shared rare prefix grams before the exact
+    # rescore. Without it the generation join's output — and therefore the
+    # rescore's input — grows with the KB (measured cands/surface 116→434
+    # for a 20× KB). 100 ≈ 3× the un-bounded per-surface volume at the 5k
+    # bench KB, so small-KB behavior is effectively unchanged.
+    gen_topk: int = 100
     # token-prefix blocks join at most this many entities per key (ordered
     # by entity_id — deterministic); the cap is the mention-entity analogue
     # of same_block_pairs' max_block_size
@@ -311,7 +318,7 @@ def candidate_pairs(
     # exact rescore below, they just never enumerate pairs.
     rare = vocab.filter(F.col("is_rare")).select("gram", "df")
 
-    def _gen_prefix(vecs: DataFrame, id_col: str) -> DataFrame:
+    def _gen_prefix(vecs: DataFrame, id_col: str, w_col: str) -> DataFrame:
         # prefix filtering: keep each id's gen_prefix_len rarest grams —
         # a matching pair shares its rarest gram with high probability, so
         # the inverted index only needs the prefix, not the whole vector
@@ -320,11 +327,27 @@ def candidate_pairs(
             vecs.join(F.broadcast(rare), "gram")
             .withColumn("_pr", F.row_number().over(pw))
             .filter(F.col("_pr") <= cfg.gen_prefix_len)
-            .select(id_col, "gram")
+            .select(id_col, "gram", F.col("weight").alias(w_col))
         )
 
-    gen = _gen_prefix(sv, "surface").join(_gen_prefix(ev, "entity_id"), "gram").select(
-        "surface", "entity_id"
+    # the inverted-index join emits every (surface, entity) pair sharing a
+    # rare prefix gram — that count grows with BOTH the surface universe
+    # and the KB (measured 36× for a 20× KB, round-5 KB-axis campaign), and
+    # every emitted pair pays the exact-rescore join below. So the pairs
+    # are RANKED by their partial dot (Σ w_s·w_e over the shared rare
+    # prefix grams — the exact dot restricted to the generating grams) and
+    # only the per-surface top ``gen_topk`` survive: candidate volume per
+    # surface is bounded at any KB size, while the ranking agg runs on the
+    # cheap (surface, entity, partial-weight) rows, not the wide vectors.
+    gw = Window.partitionBy("surface").orderBy(F.desc("_pscore"), F.asc("entity_id"))
+    gen = (
+        _gen_prefix(sv, "surface", "_ws")
+        .join(_gen_prefix(ev, "entity_id", "_we"), "gram")
+        .groupBy("surface", "entity_id")
+        .agg(F.sum(F.col("_ws") * F.col("_we")).alias("_pscore"))
+        .withColumn("_gr", F.row_number().over(gw))
+        .filter(F.col("_gr") <= cfg.gen_topk)
+        .select("surface", "entity_id")
     )
 
     sb = mention_block_keys(
