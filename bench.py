@@ -361,6 +361,22 @@ def compact_throughput(scaling: dict) -> dict:
     return out
 
 
+def curated_campaign_eff() -> dict:
+    """Compact ``{id@pages: raw_eff}`` of the committed curated campaigns
+    for the FINAL printed line. The north-rule claim (>=0.8 efficiency N vs
+    4N) rests on the >=480k-page campaigns; the ~15-min per-round default
+    campaign runs 60k pages where the corpus-invariant KB-bounded stages
+    dominate (Amdahl) — so the final line carries both numbers explicitly
+    instead of letting the small-corpus reading stand alone."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "campaigns.json")) as f:
+            camps = json.load(f)["campaigns"]
+    except (OSError, KeyError, ValueError):
+        return {}
+    return {f"{c['id']}@{c['pages'] // 1000}k": c["raw_eff"]
+            for c in camps if "raw_eff" in c and "pages" in c}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -405,6 +421,7 @@ def main() -> None:
         "sf": sf,
         "headline_reps": reps,
         "throughput": compact_throughput(scaling),
+        "campaign_raw_eff": curated_campaign_eff(),
         "curated_campaigns_ref": "BENCH/campaigns.json",
         "scaling_evidence_ref": "BENCH/SCALING_EVIDENCE.md",
     }

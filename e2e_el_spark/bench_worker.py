@@ -99,11 +99,27 @@ def main() -> None:
         for r in lin.groupBy("stage").agg({"wall_ms": "max"}).collect():
             w = r["max(wall_ms)"] / 1000.0
             stage_walls[r["stage"]] = round(min(stage_walls.get(r["stage"], w), w), 1)
+    # EL_BENCH_F1=1: pairwise-F1 of the LAST trial's clusters against the
+    # synthetic gold — outside every timed window. The KB-axis campaigns
+    # need quality evidence, not just walls: candidate caps (gen_topk,
+    # max_gen_df_abs, per-block entity caps) bound COST per surface and the
+    # F1 gate is what shows they do not silently drop gold entities at a
+    # 10^5-10^6-entity dictionary.
+    f1_metrics = None
+    if os.environ.get("EL_BENCH_F1") == "1":
+        from e2e_el_spark.pipeline import evaluate_pipeline  # noqa: PLC0415
+        from e2e_el_spark.synth import gold_mentions_df  # noqa: PLC0415
+
+        gold = gold_mentions_df(spark, n_pages, n_entities=n_ents, seed=1,
+                                partitions=max(cpus * 2, 16), size_mult=mult)
+        f1_metrics = {k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in evaluate_pipeline(clusters, gold, cfg).items()}
     shutil.rmtree(workdir, ignore_errors=True)
     shutil.rmtree(f"{workdir}_warm", ignore_errors=True)
     shutil.rmtree(kb_dir, ignore_errors=True)
     best = min(walls)
     print("RESULT " + json.dumps({
+        "pairwise_f1": f1_metrics,
         "cpus": cpus, "pages": n_pages, "size_mult": mult, "entities": n_ents,
         "n_aliases": n_aliases, "kb_build_s": kb_build_s,
         "detect_mode": ("window" if (cfg.span_mode == "fused"
