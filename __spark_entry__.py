@@ -969,6 +969,64 @@ def q49_er_blocked_clusters(spark, sf_dir):
     )
 
 
+def q50_gen_candidates(spark, sf_dir):
+    """The round-5 candidate-generation bound as a value-checked query:
+    rare-gram inverted index + prefix filtering + per-surface partial-dot
+    top-k (``pipeline.generated_candidates`` — the structural fix that
+    keeps candidates/surface KB-invariant; campaign R5-a measured the
+    unbounded form blowing up 65× for a 20× KB). KB = 40-char prefixes of
+    even-doc_id documents, surfaces = the odd-doc_id prefixes (the ER
+    dirty-vs-clean split; part/supplier names are template-generated with
+    zero rare grams, so they cannot exercise the rare-gram index).
+    Weights are integer term frequencies, so every partial dot is an
+    exact integer sum the oracle replays bit-for-bit (the pipeline's own
+    tf-idf weights stay float and are exact-rescored downstream; this
+    query value-checks the STRUCTURE: rare-gram eligibility, prefix
+    selection order, the inverted-index join, partial-dot ranking, and
+    the cap)."""
+    from e2e_el_spark.pipeline import generated_candidates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lower(F.substring("text", 1, 40)).alias("prefix"),
+    )
+    ents = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("entity_id"), F.col("prefix").alias("name")
+    )
+    surf = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("prefix").alias("surface"))
+        .distinct()
+    )
+
+    def vecs(df, idc, tc):
+        return (
+            df.select(
+                idc,
+                F.explode(F.expr(char_ngrams_expr(tc, 3, compat=True))).alias("gram"),
+            )
+            .groupBy(idc, "gram")
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+
+    ev = vecs(ents, "entity_id", "name")
+    sv = vecs(surf, "surface", "surface")
+    rare = (
+        ev.groupBy("gram")
+        .agg(F.countDistinct("entity_id").alias("df"))
+        .filter(F.col("df") <= 3)
+    )
+    out = generated_candidates(
+        sv, ev, rare, gen_prefix_len=8, gen_topk=5, keep_score=True
+    )
+    return out.select(
+        "surface",
+        "entity_id",
+        F.col("pscore").cast("bigint").alias("pscore"),
+        F.col("gen_rank").cast("int").alias("gen_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1020,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_wordpiece_greedy": q47_wordpiece_greedy,
         "q48_marked_mention_tokens": q48_marked_mention_tokens,
         "q49_er_blocked_clusters": q49_er_blocked_clusters,
+        "q50_gen_candidates": q50_gen_candidates,
     }
 
 
@@ -1822,6 +1881,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id,
                    CAST(coalesce(c.cluster_id, r.doc_id) AS BIGINT) AS cluster_id
             FROM recs r LEFT JOIN comp c ON c.node = r.doc_id
+        """,
+        # the round-5 generation bound: rare-gram inverted index + rarest-8
+        # prefix + per-surface partial-dot top-5. Integer tf weights ->
+        # exact integer partial dots, bit-identical ranking in both engines
+        "q50_gen_candidates": """
+            WITH docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     lower(substr(text, 1, 40)) AS prefix
+              FROM documents),
+            ents AS (
+              SELECT doc_id AS entity_id, prefix AS name
+              FROM docs WHERE doc_id % 2 = 0),
+            surf AS (
+              SELECT DISTINCT prefix AS surface
+              FROM docs WHERE doc_id % 2 = 1),
+            ev AS (
+              SELECT entity_id, substr(name, i.i, 3) AS gram,
+                     count(*) AS w
+              FROM ents,
+                   UNNEST(range(2, greatest(length(name) - 3 + 1, 2))) AS i(i)
+              GROUP BY entity_id, gram),
+            sv AS (
+              SELECT surface, substr(surface, i.i, 3) AS gram,
+                     count(*) AS w
+              FROM surf,
+                   UNNEST(range(2, greatest(length(surface) - 3 + 1, 2))) AS i(i)
+              GROUP BY surface, gram),
+            rare AS (
+              SELECT gram, count(DISTINCT entity_id) AS df
+              FROM ev GROUP BY gram
+              HAVING count(DISTINCT entity_id) <= 3),
+            sp AS (
+              SELECT surface, s.gram, w,
+                     row_number() OVER (PARTITION BY surface
+                                        ORDER BY r.df ASC, s.gram ASC) AS pr
+              FROM sv s JOIN rare r ON s.gram = r.gram),
+            ep AS (
+              SELECT entity_id, e.gram, w,
+                     row_number() OVER (PARTITION BY entity_id
+                                        ORDER BY r.df ASC, e.gram ASC) AS pr
+              FROM ev e JOIN rare r ON e.gram = r.gram),
+            scored AS (
+              SELECT s.surface, e.entity_id, sum(s.w * e.w) AS ps
+              FROM sp s JOIN ep e ON s.gram = e.gram
+              WHERE s.pr <= 8 AND e.pr <= 8
+              GROUP BY s.surface, e.entity_id),
+            ranked AS (
+              SELECT surface, entity_id, ps,
+                     row_number() OVER (PARTITION BY surface
+                                        ORDER BY ps DESC, entity_id ASC) AS rk
+              FROM scored)
+            SELECT surface, entity_id, CAST(ps AS BIGINT) AS pscore,
+                   CAST(rk AS INTEGER) AS gen_rank
+            FROM ranked WHERE rk <= 5
         """,
         # q30-q32, q34, q40-q42: hash-seeded MinHash/SimHash/LSH planes,
         # iterative CC + pandas-UDF pipelines (incl. the cross-encoder rerank

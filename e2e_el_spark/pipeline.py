@@ -271,6 +271,57 @@ def build_kb_artifacts(
     return vocab, ev, eb
 
 
+def generated_candidates(
+    sv: DataFrame, ev: DataFrame, rare: DataFrame,
+    gen_prefix_len: int, gen_topk: int, keep_score: bool = False,
+) -> DataFrame:
+    """Inverted-index candidate generation with prefix filtering and a
+    per-surface partial-dot top-k cap (the round-5 KB-axis fix).
+
+    ``sv``/``ev`` are (id, gram, weight) vector frames for surfaces and
+    entities; ``rare`` is (gram, df) — the generation-eligible vocabulary
+    slice. Prefix filtering keeps each id's ``gen_prefix_len`` rarest grams
+    (a matching pair shares its rarest gram with high probability, so the
+    inverted index only needs the prefix, not the whole vector). The join
+    emits every pair sharing a rare prefix gram — that count grows with
+    BOTH the surface universe and the KB (measured 36× for a 20× KB,
+    round-5 campaign R5-a), and every emitted pair pays the downstream
+    exact-rescore join. So pairs are RANKED by their partial dot
+    (Σ w_s·w_e over the shared rare prefix grams — the exact dot restricted
+    to the generating grams) and only the per-surface top ``gen_topk``
+    survive: candidate volume per surface is bounded at any KB size, while
+    the ranking agg runs on cheap (surface, entity, partial-weight) rows,
+    not the wide vectors.
+
+    ``keep_score=True`` returns (surface, entity_id, pscore, gen_rank) for
+    the value-checking driver query (q50); the pipeline path drops both.
+    """
+    def _gen_prefix(vecs: DataFrame, id_col: str, w_col: str) -> DataFrame:
+        pw = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("gram"))
+        return (
+            vecs.join(F.broadcast(rare), "gram")
+            .withColumn("_pr", F.row_number().over(pw))
+            .filter(F.col("_pr") <= gen_prefix_len)
+            .select(id_col, "gram", F.col("weight").alias(w_col))
+        )
+
+    gw = Window.partitionBy("surface").orderBy(F.desc("_pscore"), F.asc("entity_id"))
+    gen = (
+        _gen_prefix(sv, "surface", "_ws")
+        .join(_gen_prefix(ev, "entity_id", "_we"), "gram")
+        .groupBy("surface", "entity_id")
+        .agg(F.sum(F.col("_ws") * F.col("_we")).alias("_pscore"))
+        .withColumn("_gr", F.row_number().over(gw))
+        .filter(F.col("_gr") <= gen_topk)
+    )
+    if keep_score:
+        return gen.select(
+            "surface", "entity_id", F.col("_pscore").alias("pscore"),
+            F.col("_gr").alias("gen_rank"),
+        )
+    return gen.select("surface", "entity_id")
+
+
 def candidate_pairs(
     mentions: DataFrame, entities: DataFrame, cfg: PipelineConfig,
     kb: tuple[DataFrame, DataFrame, DataFrame] | None = None,
@@ -317,38 +368,7 @@ def candidate_pairs(
     # grams bound every posting list; common grams still contribute to the
     # exact rescore below, they just never enumerate pairs.
     rare = vocab.filter(F.col("is_rare")).select("gram", "df")
-
-    def _gen_prefix(vecs: DataFrame, id_col: str, w_col: str) -> DataFrame:
-        # prefix filtering: keep each id's gen_prefix_len rarest grams —
-        # a matching pair shares its rarest gram with high probability, so
-        # the inverted index only needs the prefix, not the whole vector
-        pw = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("gram"))
-        return (
-            vecs.join(F.broadcast(rare), "gram")
-            .withColumn("_pr", F.row_number().over(pw))
-            .filter(F.col("_pr") <= cfg.gen_prefix_len)
-            .select(id_col, "gram", F.col("weight").alias(w_col))
-        )
-
-    # the inverted-index join emits every (surface, entity) pair sharing a
-    # rare prefix gram — that count grows with BOTH the surface universe
-    # and the KB (measured 36× for a 20× KB, round-5 KB-axis campaign), and
-    # every emitted pair pays the exact-rescore join below. So the pairs
-    # are RANKED by their partial dot (Σ w_s·w_e over the shared rare
-    # prefix grams — the exact dot restricted to the generating grams) and
-    # only the per-surface top ``gen_topk`` survive: candidate volume per
-    # surface is bounded at any KB size, while the ranking agg runs on the
-    # cheap (surface, entity, partial-weight) rows, not the wide vectors.
-    gw = Window.partitionBy("surface").orderBy(F.desc("_pscore"), F.asc("entity_id"))
-    gen = (
-        _gen_prefix(sv, "surface", "_ws")
-        .join(_gen_prefix(ev, "entity_id", "_we"), "gram")
-        .groupBy("surface", "entity_id")
-        .agg(F.sum(F.col("_ws") * F.col("_we")).alias("_pscore"))
-        .withColumn("_gr", F.row_number().over(gw))
-        .filter(F.col("_gr") <= cfg.gen_topk)
-        .select("surface", "entity_id")
-    )
+    gen = generated_candidates(sv, ev, rare, cfg.gen_prefix_len, cfg.gen_topk)
 
     sb = mention_block_keys(
         surfaces.select(F.col("surface").alias("mention_id"), F.col("surface").alias("text")), cfg
