@@ -104,6 +104,26 @@ class PipelineConfig:
     # for a 20× KB). 100 ≈ 3× the un-bounded per-surface volume at the 5k
     # bench KB, so small-KB behavior is effectively unchanged.
     gen_topk: int = 100
+    # per-RARE-GRAM entity posting-list cap in candidate generation (weight
+    # desc, entity_id asc). The generation join's output is
+    # Σ_gram |surface posting|·|entity posting|; the df cap alone leaves a
+    # heavy tail of postings near the cap, profiled at 45M join rows → a
+    # 75s partial-dot agg at 20k pages × 100k entities (R5-c). None = off.
+    max_gen_posting: int = 64
+    # --- two-phase exact rescore (R5-c). Phase 1 scores EVERY candidate by
+    # a partial dot over the surface's prescore_grams HEAVIEST tf·idf grams
+    # (they carry the cosine mass); only the per-surface top prescore_keep
+    # survive to the exact rescore. The exact-rescore join streams
+    # |cands| × grams-per-surface rows — profiled at 1.96B rows / 346s for
+    # 118k surfaces × 100k entities, 52% of the whole pairs stage — while
+    # phase 1 costs |cands| × prescore_grams and phase 2 only
+    # prescore_keep × grams-per-surface: ~4× fewer value rows end-to-end.
+    # Final output is still the EXACT tf·idf cosine of the survivors;
+    # ranking error is confined to candidates outside the partial-dot
+    # top-prescore_keep (gated by the campaign pairwise-F1 check).
+    # prescore_keep must be ≥ 2·tfidf_topk (the final per-surface cut).
+    prescore_grams: int = 8
+    prescore_keep: int = 30
     # token-prefix blocks join at most this many entities per key (ordered
     # by entity_id — deterministic); the cap is the mention-entity analogue
     # of same_block_pairs' max_block_size
@@ -274,6 +294,7 @@ def build_kb_artifacts(
 def generated_candidates(
     sv: DataFrame, ev: DataFrame, rare: DataFrame,
     gen_prefix_len: int, gen_topk: int, keep_score: bool = False,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Inverted-index candidate generation with prefix filtering and a
     per-surface partial-dot top-k cap (the round-5 KB-axis fix).
@@ -295,6 +316,18 @@ def generated_candidates(
 
     ``keep_score=True`` returns (surface, entity_id, pscore, gen_rank) for
     the value-checking driver query (q50); the pipeline path drops both.
+
+    ``max_posting`` caps each rare gram's ENTITY posting list (top by
+    weight desc, entity_id asc — deterministic). The df cap bounds
+    posting lists by the KB's own document frequency, but the join output
+    is Σ_gram |surface posting|·|entity posting| and the heavy tail near
+    the df cap is what blows it up (profiled: 45M join rows → a 75s
+    partial-dot agg at 20k pages × 100k entities, BENCH/
+    SCALING_EVIDENCE.md R5-c). A weight-ordered per-gram cap bounds the
+    join output at |surface prefix rows| × max_posting independent of the
+    df-cap tail; a near-duplicate pair keeps its shared rare grams (those
+    postings are short by rarity), so recall is gated by the campaign
+    pairwise-F1 check, not assumed.
     """
     def _gen_prefix(vecs: DataFrame, id_col: str, w_col: str) -> DataFrame:
         pw = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("gram"))
@@ -305,10 +338,18 @@ def generated_candidates(
             .select(id_col, "gram", F.col("weight").alias(w_col))
         )
 
+    ep = _gen_prefix(ev, "entity_id", "_we")
+    if max_posting is not None:
+        gpw = Window.partitionBy("gram").orderBy(F.desc("_we"), F.asc("entity_id"))
+        ep = (
+            ep.withColumn("_gp", F.row_number().over(gpw))
+            .filter(F.col("_gp") <= max_posting)
+            .drop("_gp")
+        )
     gw = Window.partitionBy("surface").orderBy(F.desc("_pscore"), F.asc("entity_id"))
     gen = (
         _gen_prefix(sv, "surface", "_ws")
-        .join(_gen_prefix(ev, "entity_id", "_we"), "gram")
+        .join(ep, "gram")
         .groupBy("surface", "entity_id")
         .agg(F.sum(F.col("_ws") * F.col("_we")).alias("_pscore"))
         .withColumn("_gr", F.row_number().over(gw))
@@ -337,8 +378,12 @@ def candidate_pairs(
     expensive pair work.
 
     Candidates = (token-prefix blocks ∪ LSH-band blocks ∪ rare-gram inverted
-    index with prefix filtering), then every candidate gets its EXACT TF-IDF
-    cosine via a bounded rescore join, and the per-surface top-2k survive.
+    index with prefix filtering), then a two-phase rescore: a cheap partial
+    dot over each surface's heaviest grams ranks every candidate, and only
+    the per-surface top ``prescore_keep`` get their EXACT TF-IDF cosine
+    before the final per-surface top-2k cut (see the ``prescore_*`` config
+    rationale — the single-phase exact rescore was 52% of the stage wall at
+    a 100k-entity KB).
     The entity side of every block join is broadcast while the KB is the
     small dimension (SURVEY.md §1.3) — past
     ``cfg.broadcast_kb_max_entities`` the KB-proportional frames drop the
@@ -368,47 +413,86 @@ def candidate_pairs(
     # grams bound every posting list; common grams still contribute to the
     # exact rescore below, they just never enumerate pairs.
     rare = vocab.filter(F.col("is_rare")).select("gram", "df")
-    gen = generated_candidates(sv, ev, rare, cfg.gen_prefix_len, cfg.gen_topk)
+    gen = generated_candidates(
+        sv, ev, rare, cfg.gen_prefix_len, cfg.gen_topk,
+        max_posting=cfg.max_gen_posting,
+    )
 
     sb = mention_block_keys(
         surfaces.select(F.col("surface").alias("mention_id"), F.col("surface").alias("text")), cfg
     ).select(F.col("mention_id").alias("surface"), "block_key")
     blocked = sb.join(_kb_side(eb), "block_key").select("surface", "entity_id")
 
-    # persisted: ``cands`` feeds BOTH the rescore subtree and the final
-    # left join below — without materialization the whole blocked∪gen
-    # dedup computes twice (doubles the dominant cost at a large KB)
+    # persisted: ``cands`` feeds BOTH the phase-1 prescore subtree and the
+    # ranking left join below — without materialization the whole
+    # blocked∪gen dedup computes twice (doubles the dominant cost at a
+    # large KB); same for ``survivors`` across phase 2 and its left join
     cands = (
         blocked.unionByName(gen)
         .dropDuplicates(["surface", "entity_id"])
         .persist()
     )
 
-    # --- exact rescore of candidates only: cands ⋈ surface vectors ⋈ entity
-    # vectors on (entity_id, gram), hash-agg the products. Cost is
-    # |cands| × grams-per-surface — bounded, unlike the all-pairs gram join.
-    # (A map<gram,weight>-per-row dot was tried and is 2-3× SLOWER: Spark map
-    # expressions are array-backed, so element_at is a linear scan — the
-    # in-row dot degenerates to O(|grams|²) string compares per pair.)
-    # The join key is xxhash64(gram): an 8-byte long through the widest
-    # intermediate instead of a 1-5-char string (smaller shuffle rows,
+    # --- two-phase exact rescore (R5-c; rationale on the config fields).
+    # Vectors join on xxhash64(gram): an 8-byte long through the widest
+    # intermediates instead of a 1-5-char string (smaller shuffle rows,
     # cheaper hash/compare). A 64-bit collision between two grams of the
     # ≤100k vocab (P ≈ 3·10⁻¹⁰) would add one spurious cross-term; the dot
     # stays exact for every practical purpose.
+    # (A map<gram,weight>-per-row dot was tried and is 2-3× SLOWER: Spark map
+    # expressions are array-backed, so element_at is a linear scan — the
+    # in-row dot degenerates to O(|grams|²) string compares per pair.)
     # Surface grams that appear in NO entity vector contribute 0 to every
-    # dot — a broadcast semi-join drops them map-side BEFORE the wide
-    # cands⋈sv intermediate exists; the ev side itself broadcasts (the KB
-    # dimension), so the only shuffle left is the partial-agg groupBy.
+    # dot — a broadcast semi-join drops them map-side BEFORE any wide
+    # cands⋈sv intermediate exists; the ev side itself broadcasts while the
+    # KB is small, so the only shuffles left are the partial-agg groupBys.
     evh = ev.select("entity_id", F.xxhash64("gram").alias("_gh"), F.col("weight").alias("_ew"))
     svh = sv.select("surface", F.xxhash64("gram").alias("_gh"), "weight")
     sv_r = svh.join(F.broadcast(evh.select("_gh").distinct()), "_gh", "left_semi")
+
+    # phase 1: partial dot over each surface's heaviest prescore_grams
+    # grams ranks ALL candidates cheaply; candidates sharing none of them
+    # keep pscore 0 (left join + coalesce) so no candidate silently drops
+    # — they just rank by the same (0, entity_id) tie-break the old exact
+    # path gave zero-overlap candidates.
+    if cfg.prescore_keep < cfg.tfidf_topk * 2:
+        raise ValueError(
+            f"prescore_keep={cfg.prescore_keep} must be >= 2*tfidf_topk="
+            f"{cfg.tfidf_topk * 2}: the phase-1 cut would starve the final "
+            "per-surface top-2k"
+        )
+    tw = Window.partitionBy("surface").orderBy(F.desc("weight"), F.asc("_gh"))
+    sv_top = (
+        sv_r.withColumn("_tw", F.row_number().over(tw))
+        .filter(F.col("_tw") <= cfg.prescore_grams)
+        .drop("_tw")
+    )
+    pre = (
+        cands.join(sv_top, "surface")
+        .join(_kb_side(evh), ["entity_id", "_gh"])
+        .groupBy("surface", "entity_id")
+        .agg(F.sum(F.col("weight") * F.col("_ew")).alias("_pscore"))
+    )
+    kw = Window.partitionBy("surface").orderBy(F.desc("_pscore"), F.asc("entity_id"))
+    survivors = (
+        cands.join(pre, ["surface", "entity_id"], "left")
+        .withColumn("_pscore", F.coalesce("_pscore", F.lit(0.0)))
+        .withColumn("_pk", F.row_number().over(kw))
+        .filter(F.col("_pk") <= cfg.prescore_keep)
+        .select("surface", "entity_id")
+        .persist()
+    )
+
+    # phase 2: EXACT tf·idf cosine, but only for the prescore_keep
+    # survivors — prescore_keep × grams-per-surface value rows instead of
+    # |cands| × grams-per-surface.
     rescored = (
-        cands.join(sv_r, "surface")
+        survivors.join(sv_r, "surface")
         .join(_kb_side(evh), ["entity_id", "_gh"])
         .groupBy("surface", "entity_id")
         .agg(F.sum(F.col("weight") * F.col("_ew")).alias("tfidf_cos"))
     )
-    out = cands.join(rescored, ["surface", "entity_id"], "left").select(
+    out = survivors.join(rescored, ["surface", "entity_id"], "left").select(
         "surface", "entity_id", F.coalesce("tfidf_cos", F.lit(0.0)).alias("tfidf_cos")
     )
     # reference keeps top-k candidates per mention (num_candidates=10,
