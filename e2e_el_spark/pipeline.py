@@ -423,15 +423,10 @@ def candidate_pairs(
     ).select(F.col("mention_id").alias("surface"), "block_key")
     blocked = sb.join(_kb_side(eb), "block_key").select("surface", "entity_id")
 
-    # persisted: ``cands`` feeds BOTH the phase-1 prescore subtree and the
-    # ranking left join below — without materialization the whole
-    # blocked∪gen dedup computes twice (doubles the dominant cost at a
-    # large KB); same for ``survivors`` across phase 2 and its left join
-    cands = (
-        blocked.unionByName(gen)
-        .dropDuplicates(["surface", "entity_id"])
-        .persist()
-    )
+    # ``cands`` has exactly ONE consumer (the phase-1 left-join chain) since
+    # the ranking window moved onto the agg output — no persist needed.
+    # ``survivors`` below stays persisted: it feeds phase 2 AND its back-join.
+    cands = blocked.unionByName(gen).dropDuplicates(["surface", "entity_id"])
 
     # --- two-phase exact rescore (R5-c; rationale on the config fields).
     # Vectors join on xxhash64(gram): an 8-byte long through the widest
@@ -451,10 +446,14 @@ def candidate_pairs(
     sv_r = svh.join(F.broadcast(evh.select("_gh").distinct()), "_gh", "left_semi")
 
     # phase 1: partial dot over each surface's heaviest prescore_grams
-    # grams ranks ALL candidates cheaply; candidates sharing none of them
-    # keep pscore 0 (left join + coalesce) so no candidate silently drops
-    # — they just rank by the same (0, entity_id) tie-break the old exact
-    # path gave zero-overlap candidates.
+    # grams ranks ALL candidates cheaply. LEFT joins carry EVERY candidate
+    # through the agg (zero-overlap candidates sum to a coalesced 0.0, so
+    # none silently drops — same (0, entity_id) tie-break the old exact
+    # path gave them) and the ranking window runs directly on the agg
+    # output: no cands-back sort-merge join. That join (31.5M ⋈ 16.6M on a
+    # string key) was 105s of the 357s stage wall at 20k pages × 100k
+    # entities (BENCH/SCALING_EVIDENCE.md R5-c) for zero information — the
+    # agg can emit the zero rows itself.
     if cfg.prescore_keep < cfg.tfidf_topk * 2:
         raise ValueError(
             f"prescore_keep={cfg.prescore_keep} must be >= 2*tfidf_topk="
@@ -467,17 +466,20 @@ def candidate_pairs(
         .filter(F.col("_tw") <= cfg.prescore_grams)
         .drop("_tw")
     )
+    # left-join chain: a candidate whose surface has no sv_top grams (every
+    # gram unknown to the KB) keeps a null-_gh row; a candidate whose top
+    # grams match no entity row keeps null _ew. Both sum to null → 0.0.
     pre = (
-        cands.join(sv_top, "surface")
-        .join(_kb_side(evh), ["entity_id", "_gh"])
+        cands.join(sv_top, "surface", "left")
+        .join(_kb_side(evh), ["entity_id", "_gh"], "left")
         .groupBy("surface", "entity_id")
-        .agg(F.sum(F.col("weight") * F.col("_ew")).alias("_pscore"))
+        .agg(F.coalesce(
+            F.sum(F.col("weight") * F.col("_ew")), F.lit(0.0)
+        ).alias("_pscore"))
     )
     kw = Window.partitionBy("surface").orderBy(F.desc("_pscore"), F.asc("entity_id"))
     survivors = (
-        cands.join(pre, ["surface", "entity_id"], "left")
-        .withColumn("_pscore", F.coalesce("_pscore", F.lit(0.0)))
-        .withColumn("_pk", F.row_number().over(kw))
+        pre.withColumn("_pk", F.row_number().over(kw))
         .filter(F.col("_pk") <= cfg.prescore_keep)
         .select("surface", "entity_id")
         .persist()
