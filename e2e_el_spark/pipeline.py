@@ -124,6 +124,14 @@ class PipelineConfig:
     # prescore_keep must be ≥ 2·tfidf_topk (the final per-surface cut).
     prescore_grams: int = 8
     prescore_keep: int = 30
+    # R5-g: on the shuffled-KB path (past broadcast_kb_max_entities), prune
+    # the KB-proportional entity-vector frame by the vocab-bounded sets of
+    # grams that can actually appear on the probe side (phase 1: grams in
+    # some surface's top-prescore_grams; phase 2: grams in any surface
+    # vector) via broadcast semi-joins BEFORE the wide shuffles. Exactness
+    # is tested (test_shuffled_kb_path_equals_broadcast_path); the knob
+    # exists for campaign A/Bs, not correctness.
+    prune_kb_grams: bool = True
     # token-prefix blocks join at most this many entities per key (ordered
     # by entity_id — deterministic); the cap is the mention-entity analogue
     # of same_block_pairs' max_block_size
@@ -466,12 +474,34 @@ def candidate_pairs(
         .filter(F.col("_tw") <= cfg.prescore_grams)
         .drop("_tw")
     )
+    # On the shuffled-KB path the entity-vector frame is KB-proportional
+    # (77M rows at 10^6 entities — BENCH/SCALING_EVIDENCE.md R5-f, where
+    # 03_pairs was 81% of the job wall) while the set of grams that can
+    # EVER participate in a join is vocab-bounded (<= cfg.vocab_size 8-byte
+    # hashes): phase 1 only probes grams in some surface's top-
+    # prescore_grams set, phase 2 only grams present in a surface vector at
+    # all. Two broadcast semi-joins drop every other entity row map-side
+    # BEFORE evh enters the wide shuffles. The win compounds because common
+    # (low-IDF) grams are precisely the ones with the LARGEST posting lists
+    # and the ones a top-by-weight cut excludes from sv_top. On the
+    # broadcast path evh ships whole either way — prune nothing, keep the
+    # plan-tested broadcast shape unchanged.
+    if kb_small or not cfg.prune_kb_grams:
+        evh_p1 = evh_p2 = evh
+    else:
+        sv_top = sv_top.persist()  # consumed by the prune AND the join chain
+        evh_p1 = evh.join(
+            F.broadcast(sv_top.select("_gh").distinct()), "_gh", "left_semi"
+        )
+        evh_p2 = evh.join(
+            F.broadcast(svh.select("_gh").distinct()), "_gh", "left_semi"
+        )
     # left-join chain: a candidate whose surface has no sv_top grams (every
     # gram unknown to the KB) keeps a null-_gh row; a candidate whose top
     # grams match no entity row keeps null _ew. Both sum to null → 0.0.
     pre = (
         cands.join(sv_top, "surface", "left")
-        .join(_kb_side(evh), ["entity_id", "_gh"], "left")
+        .join(_kb_side(evh_p1), ["entity_id", "_gh"], "left")
         .groupBy("surface", "entity_id")
         .agg(F.coalesce(
             F.sum(F.col("weight") * F.col("_ew")), F.lit(0.0)
@@ -490,7 +520,7 @@ def candidate_pairs(
     # |cands| × grams-per-surface.
     rescored = (
         survivors.join(sv_r, "surface")
-        .join(_kb_side(evh), ["entity_id", "_gh"])
+        .join(_kb_side(evh_p2), ["entity_id", "_gh"])
         .groupBy("surface", "entity_id")
         .agg(F.sum(F.col("weight") * F.col("_ew")).alias("tfidf_cos"))
     )

@@ -172,3 +172,26 @@ def test_gen_posting_cap_drops_lowest_weight_posting(spark):
         for r in generated_candidates(sv, ev, rare, 8, 10**6, max_posting=None).collect()
     }
     assert full == {("S", "E1"), ("S", "E2"), ("S", "E3"), ("S", "E4")}
+
+
+def test_shuffled_kb_path_equals_broadcast_path(spark, kb, surfaces_as_mentions):
+    """R5-g: forcing the shuffled-KB plan (n_entities past the broadcast
+    threshold ⇒ evh prune semi-joins + no KB-proportional broadcast hints)
+    must yield exactly the broadcast-path pairs AND scores — the prunes only
+    drop entity-vector rows whose gram can never appear on the probe side."""
+    ents, cfg, frames = kb
+    small = {
+        (r.surface, r.entity_id): r.tfidf_cos
+        for r in candidate_pairs(
+            surfaces_as_mentions, ents, cfg, kb=frames, n_entities=N_ENT
+        ).collect()
+    }
+    big = {
+        (r.surface, r.entity_id): r.tfidf_cos
+        for r in candidate_pairs(
+            surfaces_as_mentions, ents, cfg, kb=frames, n_entities=10**9
+        ).collect()
+    }
+    assert set(small) == set(big)
+    for k, v in small.items():
+        assert big[k] == pytest.approx(v, abs=1e-12), k

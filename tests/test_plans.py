@@ -161,16 +161,25 @@ def test_kb_broadcast_hint_dropped_past_threshold(spark):
     def hint_count(df):
         return _optimized(df).count("strategy=broadcast")
 
+    def hint_lines(df):
+        return [
+            line.strip() for line in _optimized(df).splitlines()
+            if "strategy=broadcast" in line
+        ]
+
     small = candidate_pairs(mentions, ents, cfg, n_entities=30)
     big = candidate_pairs(mentions, ents, cfg, n_entities=10**9)
-    # vocabulary-bounded broadcasts remain in BOTH (>=1); the
-    # KB-proportional ones (entity blocks, entity vectors) must disappear
-    # in the big plan (exact counts are brittle: the optimizer duplicates
-    # shared subtrees, so a single dropped hint can vanish more than once)
-    assert hint_count(big) < hint_count(small), (
-        hint_count(small), hint_count(big),
+    # In the small plan the KB-proportional entity-vector frame is broadcast
+    # into the rescore joins (Inner/LeftOuter hints). In the big plan those
+    # must be gone: the ONLY surviving broadcast hints are the vocab-bounded
+    # gram-hash sides of LeftSemi prune joins (<= cfg.vocab_size 8-byte
+    # hashes each — the R5-g evh prunes and the sv_r known-gram filter).
+    assert any("LeftSemi" not in line for line in hint_lines(small)), (
+        hint_lines(small)
     )
-    assert hint_count(big) >= 1
+    big_hints = hint_lines(big)
+    assert big_hints, "vocab-bounded prune broadcasts must survive"
+    assert all("Join LeftSemi" in line for line in big_hints), big_hints
 
     cands = small.limit(5)
     s_small = score_candidates(cands, mentions, ents, cfg, gaz, n_entities=30)
