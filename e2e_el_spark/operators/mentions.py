@@ -566,14 +566,17 @@ def _match_mentions_arrow(
     # raw-alias dedupe happens JVM-side (bounds the collect to distinct
     # aliases); folding happens DRIVER-side so it uses the match-time
     # function. limit(n+1) bounds the transferred rows even when the guard
-    # trips — the error costs one truncated collect, not an OOM.
-    rows = (
+    # trips — the error costs one truncated collect, not an OOM. toPandas
+    # (Arrow batches) instead of row collect: 2.0s vs 12.7s at 1.2M
+    # aliases — the collect was the dominant fused fixed cost at web-KB
+    # alias counts (BENCH/SCALING_EVIDENCE.md R5-h).
+    gpdf = (
         gazetteer.groupBy(F.col("alias").alias("a"))
         .agg(F.min("entity_id").alias("e"))
         .limit(max_collected_aliases + 1)
-        .collect()
+        .toPandas()
     )
-    if len(rows) > max_collected_aliases:
+    if len(gpdf) > max_collected_aliases:
         raise ValueError(
             f"fused gazetteer matcher: >{max_collected_aliases} distinct"
             " aliases — too large to collect driver-side; raise"
@@ -583,16 +586,17 @@ def _match_mentions_arrow(
     # min(entity_id) per FOLDED alias: two-level min (per raw alias on the
     # cluster, per folded key here) == global min per folded key —
     # deterministic on colliding cross-entity aliases and identical to the
-    # window path's groupBy(lower(alias)).agg(min) for ASCII keys
-    alias_map: dict = {}
-    for r in rows:
-        k = (r["a"] or "").lower()
-        e = r["e"]
-        prev = alias_map.get(k)
-        if prev is None or e < prev:
-            alias_map[k] = e
-    alias_norms = list(alias_map)
-    alias_entities = [alias_map[k] for k in alias_norms]
+    # window path's groupBy(lower(alias)).agg(min) for ASCII keys.
+    # pandas str.lower IS Python str.lower per element (object dtype), so
+    # the match-time folding function is unchanged; lexicographic min per
+    # folded key replicates the old dict fold exactly.
+    folded = (
+        pd.DataFrame({"k": gpdf["a"].fillna("").str.lower(), "e": gpdf["e"]})
+        .groupby("k", sort=False)["e"].min()
+    )
+    alias_norms = folded.index.tolist()
+    alias_entities = folded.tolist()
+    alias_map = dict(zip(alias_norms, alias_entities))
     # anchor dim: first token -> bitmask of alias token-counts (width w sets
     # bit w); aliases longer than max_tokens can never match
     anchor_bits: dict = {}
