@@ -384,3 +384,22 @@ def test_detect_mentions_fused_alias_limit(spark):
     # at-limit passes
     out = _match_mentions_arrow(docs, gaz, 4, max_collected_aliases=10)
     assert out.count() == 0
+
+
+def test_detect_mentions_colliding_folded_aliases_min_entity(spark):
+    """R5-h: the fused matcher's vectorized driver fold (groupby-min per
+    folded key) must keep the window path's semantics — when case-variant
+    aliases of DIFFERENT entities fold to one key, the minimum entity_id
+    wins, identically in both modes."""
+    docs = spark.createDataFrame(
+        [("d1", "we met acme yesterday")], "document_id string, text string"
+    )
+    gaz = spark.createDataFrame(
+        [("e9", "Acme"), ("e1", "ACME"), ("e5", "acme")],
+        "entity_id string, alias string",
+    )
+    for mode in ("fused", "window"):
+        got = detect_mentions(docs, gaz, span_mode=mode).collect()
+        assert len(got) == 1, (mode, got)
+        assert got[0].gazetteer_entity_id == "e1", (mode, got)
+        assert got[0].text == "acme"
