@@ -245,3 +245,60 @@ def cluster_nodes(
     return mapping.select(
         "node_key", F.concat(F.lit("c"), F.col("component").cast("string")).alias("cluster_id")
     )
+
+
+def cluster_star_links(
+    edges_str: DataFrame, all_nodes: DataFrame | None = None,
+    src_col: str = "src_key", dst_col: str = "dst_key",
+) -> DataFrame:
+    """Closed-form connected components for STAR-SHAPED bipartite edge
+    sets: every ``src_col`` key occurs in exactly one edge (degree 1) and
+    the src/dst key namespaces are disjoint, so each component is one dst
+    hub plus its srcs and NO fixpoint is needed — the component label is
+    ``min(xxhash64)`` over {hub} ∪ {its srcs}, computed with one hub-keyed
+    aggregation and one hub-keyed join back. Output contract is IDENTICAL
+    to ``cluster_nodes`` on such inputs (equivalence-tested): srcs and
+    hubs both assigned ``'c' + min-hash``, ``all_nodes`` added as
+    singleton clusters.
+
+    The flagship links are star-shaped BY CONSTRUCTION: ``link_top1``
+    keeps a single argmax entity per surface, so ``mention_links`` emits
+    exactly one entity per mention and every src is a mention key while
+    every dst is an ``ENT:``-prefixed entity key. At 480k pages the
+    iterative fixpoint spent 83-160s (n8) on this trivially-starred graph
+    — all of it per-round shuffle/localCheckpoint overhead the closed
+    form does not have; a plain two-shuffle job also needs no reliable
+    checkpointing for executor-loss tolerance (Spark task retry covers
+    it), which is why this path takes no ``checkpoint_dir``.
+
+    PRECONDITION (caller-guaranteed, deliberately unchecked — verifying
+    degree-1 costs the aggregation this path exists to avoid): a src key
+    occurring with two different dst keys would silently SPLIT what the
+    fixpoint would merge. Use ``cluster_nodes`` when the edge shape is
+    not guaranteed by construction.
+    """
+    h = edges_str.select(
+        F.col(src_col).alias("_sk"), F.col(dst_col).alias("_dk"),
+        F.xxhash64(src_col).alias("_sid"), F.xxhash64(dst_col).alias("_did"),
+    )
+    hubs = h.groupBy("_dk").agg(
+        F.least(F.min("_sid"), F.min("_did")).alias("component")
+    )
+    mapping = (
+        h.select("_sk", "_dk").join(hubs, "_dk")
+        .select(F.col("_sk").alias("node_key"), "component")
+        .unionByName(hubs.select(F.col("_dk").alias("node_key"), "component"))
+        # duplicate (src, dst) edge rows collapse here; a precondition-
+        # violating src would surface as two rows rather than vanish
+        .distinct()
+    )
+    if all_nodes is not None:
+        extra = (
+            all_nodes.select("node_key")
+            .join(mapping.select("node_key"), "node_key", "left_anti")
+            .withColumn("component", F.xxhash64("node_key"))
+        )
+        mapping = mapping.unionByName(extra)
+    return mapping.select(
+        "node_key", F.concat(F.lit("c"), F.col("component").cast("string")).alias("cluster_id")
+    )

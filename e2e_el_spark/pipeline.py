@@ -35,7 +35,7 @@ from e2e_el_spark.operators.blocking import (
     tfidf_vectors,
     token_prefix_key,
 )
-from e2e_el_spark.operators.clustering import cluster_nodes
+from e2e_el_spark.operators.clustering import cluster_nodes, cluster_star_links
 from e2e_el_spark.operators.mentions import detect_mentions
 from e2e_el_spark.operators.scoring import score_pairs
 from e2e_el_spark.operators.segmentation import segment_documents
@@ -682,22 +682,35 @@ def mention_links(links: DataFrame, mentions: DataFrame) -> DataFrame:
 
 
 def clusters_from_links(
-    links: DataFrame, mentions: DataFrame, cc_checkpoint_dir: str | None = None
+    links: DataFrame, mentions: DataFrame, cc_checkpoint_dir: str | None = None,
+    star_fast_path: bool = True,
 ) -> DataFrame:
     """Connected components over the bipartite mention–entity match graph;
-    unlinked mentions become singleton clusters. ``cc_checkpoint_dir`` makes
-    the fixpoint's per-round materialization reliable (parquet) instead of
-    ``localCheckpoint`` — for multi-executor clusters where executor loss
-    must not kill the iteration."""
+    unlinked mentions become singleton clusters.
+
+    The links are star-shaped by construction (``link_top1`` keeps one
+    entity per surface ⇒ one entity per mention), so the default path is
+    the closed-form ``cluster_star_links`` — one aggregation + one join
+    instead of the large-star/small-star fixpoint, identical output
+    (equivalence-tested at the operator AND this-function level). The
+    fixpoint remains reachable two ways: ``star_fast_path=False`` (edge
+    shape not guaranteed — e.g. callers feeding mention-mention links), or
+    ``cc_checkpoint_dir`` set, which makes the fixpoint's per-round
+    materialization reliable (parquet) instead of ``localCheckpoint`` for
+    multi-executor clusters where executor loss must not kill the
+    iteration (the closed form is a plain shuffle job — task retry covers
+    loss, no checkpoint mode exists for it)."""
     edges = links.select(
         F.col("mention_id").alias("src_key"),
         F.concat(F.lit("ENT:"), F.col("entity_id")).alias("dst_key"),
     )
-    assign = cluster_nodes(
-        edges,
-        all_nodes=mentions.select(F.col("mention_id").alias("node_key")),
-        checkpoint_dir=cc_checkpoint_dir,
-    )
+    nodes = mentions.select(F.col("mention_id").alias("node_key"))
+    if star_fast_path and cc_checkpoint_dir is None:
+        assign = cluster_star_links(edges, all_nodes=nodes)
+    else:
+        assign = cluster_nodes(
+            edges, all_nodes=nodes, checkpoint_dir=cc_checkpoint_dir,
+        )
     return (
         assign.join(
             mentions.select(F.col("mention_id").alias("node_key")), "node_key", "left_semi"

@@ -117,3 +117,48 @@ def test_cluster_nodes_isolated_singletons(spark):
     assert got["m1"] == got["m2"]
     assert got["m3"] != got["m1"]
     assert set(got) == {"m1", "m2", "m3", "ENT:e1"}
+
+
+def test_cluster_star_links_equals_fixpoint(spark):
+    """Star-shaped bipartite inputs (flagship link shape): the closed-form
+    path must equal the iterative fixpoint exactly — node set, component
+    labels, singleton handling, duplicate-edge collapse."""
+    import random
+
+    from e2e_el_spark.operators.clustering import cluster_star_links
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [(f"m{i:03d}", f"ENT:e{rng.randrange(17)}") for i in range(120)]
+        if trial == 1:
+            edges += edges[:5]  # duplicate edges must collapse
+        nodes = [(f"m{i:03d}",) for i in range(129)]  # 9 isolated singletons
+        e = spark.createDataFrame(edges, "src_key string, dst_key string")
+        an = spark.createDataFrame(nodes, "node_key string")
+        fast = {(r.node_key, r.cluster_id)
+                for r in cluster_star_links(e, all_nodes=an).collect()}
+        slow = {(r.node_key, r.cluster_id)
+                for r in cluster_nodes(e, all_nodes=an).collect()}
+        assert fast == slow, trial
+        assert len(fast) == 129 + 17  # every mention + every hub assigned
+
+
+def test_clusters_from_links_star_path_matches_fixpoint(spark):
+    """The flagship clusters stage gives bit-equal output on both paths."""
+    from e2e_el_spark.pipeline import clusters_from_links
+
+    links = spark.createDataFrame(
+        [("m1", "e1", 0.9), ("m2", "e1", 0.8), ("m3", "e2", 0.7),
+         ("m4", "e2", 0.95), ("m5", "e3", 0.99)],
+        "mention_id string, entity_id string, score double",
+    )
+    mentions = spark.createDataFrame(
+        [(f"m{i}",) for i in range(1, 9)], "mention_id string"
+    )
+    star = {(r.mention_id, r.cluster_id)
+            for r in clusters_from_links(links, mentions).collect()}
+    fix = {(r.mention_id, r.cluster_id)
+           for r in clusters_from_links(links, mentions,
+                                        star_fast_path=False).collect()}
+    assert star == fix
+    assert len(star) == 8  # m6-m8 singletons included
