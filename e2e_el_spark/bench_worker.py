@@ -34,8 +34,13 @@ def main() -> None:
         rerank_topk=rerank,
         span_mode=os.environ.get("EL_SPAN_MODE", PipelineConfig.span_mode),
     )
+    # shuffle partitions default to the core count (each level emulates a
+    # cluster of that size), overridable for partition-sizing campaigns:
+    # at 1.92M pages the 2-partition shuffles of the n2 level put ~27M
+    # rows in one shuffle partition — R5-m measures that regime directly
+    shuffle = int(os.environ.get("EL_BENCH_SHUFFLE_PARTITIONS", "0")) or cpus
     spark = get_spark(app_name=f"el_bench_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=shuffle)
     # warmup: exercise JIT, Python workers, Arrow, shuffle paths. KB capped
     # at 5k entities — warmup is outside every timed window and a 10^6-KB
     # warmup build would dominate the whole campaign for zero signal
@@ -120,7 +125,8 @@ def main() -> None:
     best = min(walls)
     print("RESULT " + json.dumps({
         "pairwise_f1": f1_metrics,
-        "cpus": cpus, "pages": n_pages, "size_mult": mult, "entities": n_ents,
+        "cpus": cpus, "shuffle_partitions": shuffle,
+        "pages": n_pages, "size_mult": mult, "entities": n_ents,
         "n_aliases": n_aliases, "kb_build_s": kb_build_s,
         "detect_mode": ("window" if (cfg.span_mode == "fused"
                                      and n_aliases > cfg.fused_max_aliases)
