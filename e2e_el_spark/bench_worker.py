@@ -126,6 +126,8 @@ def main() -> None:
     print("RESULT " + json.dumps({
         "pairwise_f1": f1_metrics,
         "cpus": cpus, "shuffle_partitions": shuffle,
+        "initial_partitions": int(spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum")),
         "pages": n_pages, "size_mult": mult, "entities": n_ents,
         "n_aliases": n_aliases, "kb_build_s": kb_build_s,
         "detect_mode": ("window" if (cfg.span_mode == "fused"

@@ -33,12 +33,41 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    # Shuffles start from a partition count sized for the BIG stages and let
+    # AQE coalesce the small ones down, instead of one static number serving
+    # both. Measured motivation (BENCH/SCALING_EVIDENCE.md R5-l/R5-m): with
+    # partitions = cores, the 2-core level pushes ~27M link rows through two
+    # shuffle partitions and 06_clusters degrades 21% from spill, while a
+    # static high count taxes the tiny KB-bounded stages with empty tasks.
+    # initialPartitionNum gives data-proportional sizing: big exchanges keep
+    # many partitions, AQE coalescing shrinks small ones toward
+    # advisoryPartitionSizeInBytes. On a real 100 TB cluster this is the
+    # same setting that keeps terabyte shuffles out of the spill regime
+    # without hand-tuning spark.sql.shuffle.partitions per stage.
+    initial_partitions = int(
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "0")
+    ) or max(4 * shuffle_partitions, 64)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
+        # respect advisoryPartitionSizeInBytes when coalescing (Spark's own
+        # recommendation) instead of keeping every >=1MB partition alive for
+        # parallelism: with initialPartitionNum raised, parallelismFirst=true
+        # would leave a 100MB shuffle at 64 x ~1.6MB tasks — per-task
+        # overhead on every small stage. With it false, small shuffles
+        # coalesce to the 8m advisory target and big ones keep their
+        # data-proportional partition count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # size post-shuffle partitions for the EXPLODED row counts the
         # blocking/span operators produce, not the compact pre-explode bytes

@@ -206,3 +206,21 @@ def test_kb_scale_plan_decisions_output_invariant(spark, tmp_path):
         return sorted((r.mention_id, r.cluster_id) for r in df.collect())
 
     assert key(base) == key(alt)
+
+
+def test_shuffles_start_data_proportional_then_coalesce(spark):
+    """Shuffle exchanges start from max(4 x shuffle.partitions, 64) and AQE
+    coalesces small ones down — the R5-m fix: a big exchange is never pinned
+    to the emulated core count (at partitions = cores the n2 level pushed
+    ~27M link rows through TWO partitions and 06_clusters degraded 21% from
+    spill; BENCH/SCALING_EVIDENCE.md R5-l/R5-m), while tiny KB-bounded
+    stages still coalesce instead of paying per-task overhead."""
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    init = int(
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    )
+    assert init == max(4 * sp, 64), (sp, init)
+    # AQE still coalesces a tiny aggregation far below the initial count
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    assert df.rdd.getNumPartitions() < init
