@@ -57,16 +57,19 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(initial_partitions),
         )
-        # respect advisoryPartitionSizeInBytes when coalescing (Spark's own
-        # recommendation) instead of keeping every >=1MB partition alive for
-        # parallelism: with initialPartitionNum raised, parallelismFirst=true
-        # would leave a 100MB shuffle at 64 x ~1.6MB tasks — per-task
-        # overhead on every small stage. With it false, small shuffles
-        # coalesce to the 8m advisory target and big ones keep their
-        # data-proportional partition count.
+        # keep parallelism-first coalescing (Spark's default): byte-based
+        # advisory sizing cannot see COMPUTE density, and this engine's
+        # scoring/rerank exchanges are byte-light but pandas-UDF-heavy —
+        # with parallelismFirst=false the 8m advisory target coalesced
+        # 04_scored to ~1 task and its wall stopped responding to cores
+        # (same-window 60k n8 pair, BENCH/SCALING_EVIDENCE.md R5-o:
+        # 04_scored 51.6s -> 12.1s, 04b_rerank 21.0s -> 11.0s, whole job
+        # 123.7s -> 72.2s when flipped back to true). KB-bounded stages pay
+        # no measurable tax under true at the raised initialPartitionNum
+        # (03_pairs 17.3s vs 21.0s in the same pair).
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # size post-shuffle partitions for the EXPLODED row counts the
