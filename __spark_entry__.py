@@ -27,6 +27,7 @@ from e2e_el_spark.operators import dedup as D
 from e2e_el_spark.operators import similarity as S
 from e2e_el_spark.operators import textstats as TS
 from e2e_el_spark.operators.clustering import connected_components
+from e2e_el_spark.partitioning import fan_out
 from e2e_el_spark.sources.corpus_formats import normalize_entity_ids
 
 # ---------------------------------------------------------------------------
@@ -272,11 +273,26 @@ def q15_block_key_counts(spark, sf_dir):
 
 def q16_char_ngram_counts(spark, sf_dir):
     """A2 char-n-gram TF with the reference's loop quirk (compat mode,
-    candidate_selection.py:119-124): top-50 3-grams of lowercased text."""
-    d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        F.explode(F.expr(char_ngrams_expr("lower(text)", 3, compat=True))).alias("gram")
+    candidate_selection.py:119-124): top-50 3-grams of lowercased text.
+
+    r6: position explode + codegen substr instead of exploding an
+    interpreted ``transform(sequence, i -> substr)`` string array (same
+    positions 2..len-3 as ``char_ngrams_expr(..., compat=True)`` — gram
+    multiset identical), over a ``fan_out`` scan (the single-row-group
+    parquet input is otherwise one task for the whole explode+partial-agg
+    stage)."""
+    d = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
+    lt = d.select(F.lower(F.col("text")).alias("_lt"))
+    pos = lt.select(
+        "_lt",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(_lt) - 3 >= 2 THEN sequence(2, length(_lt) - 3) "
+                "ELSE array() END"
+            )
+        ).alias("_i"),
     )
+    grams = pos.select(F.expr("substr(_lt, _i, 3)").alias("gram"))
     return (
         grams.groupBy("gram")
         .agg(F.count("*").alias("cnt"))
@@ -289,8 +305,13 @@ def q17_tfidf_vocab(spark, sf_dir):
     """A3+A4: top-100 vocabulary by total tf (ties → gram) with df and
     idf = ln(N/df) unsmoothed (candidate_selection.py:130-161); n ≤ 2,
     stopword-filtered lowercased docs."""
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("cid"), F.col("text").alias("ctext")
+    # r6: fan_out so the gram explode/agg parallelizes off the single-row-
+    # group scan; the fan-out hash key IS the per-doc agg key, so the
+    # (_id, gram) aggregate reuses the exchange. cid stays the raw BIGINT:
+    # it only feeds the df count, and 8-byte keys shuffle smaller than
+    # their string casts.
+    d = fan_out(_t(spark, sf_dir, "documents"), "doc_id").select(
+        F.col("doc_id").alias("cid"), F.col("text").alias("ctext")
     )
     return B.build_tfidf_vocab(d, "cid", "ctext", n_max=2, vocab_size=100).select(
         "gram", "df", F.round("idf", 6).alias("idf")
@@ -299,7 +320,9 @@ def q17_tfidf_vocab(spark, sf_dir):
 
 def q18_langid(spark, sf_dir):
     """language-ID heuristic: function-word argmax per doc, counted."""
-    d = _t(spark, sf_dir, "documents")
+    # r6: fan_out — the 4-language marker filters are interpreted
+    # higher-order functions; parallelize them off the one-task scan
+    d = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     return TS.detect_language(d, "text").groupBy("lang_pred").agg(F.count("*").alias("n"))
 
 
@@ -317,7 +340,7 @@ def q19_quality_by_lang(spark, sf_dir):
 def q20_token_budget_audit(spark, sf_dir):
     """token counting + the reference's >512-token audit
     (utils_E2E_exhaustive.py:307-312) per source."""
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     t = TS.token_counts(d, "text")
     return t.groupBy("source").agg(
         F.sum(F.when(F.col("over_512"), 1).otherwise(0)).cast("long").alias("n_over_512"),
@@ -348,7 +371,9 @@ def q23_brute_force_ann(spark, sf_dir):
     """T3 exact k-NN: brute-force cosine top-5, queries = vec_id < 10."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    c = e.filter(F.col("vec_id") >= 10)
+    # r6: fan_out the corpus side — the broadcast-cross-join scoring and
+    # first window pass otherwise run inside the single scan task
+    c = fan_out(e.filter(F.col("vec_id") >= 10), "vec_id")
     out = S.brute_force_topk(c, q, k=5)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
@@ -356,16 +381,23 @@ def q23_brute_force_ann(spark, sf_dir):
 def q24_knn_label_ranking(spark, sf_dir):
     """A6 ranking metrics (P@1 / MAP / R@10, run_DualEncoder.py:332-418):
     rank of the first same-label neighbor among top-scored corpus vectors."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), F.col("label").alias("qlabel")
-    )
-    c = e.filter(F.col("vec_id") >= 50).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("_cv"), F.col("label").alias("clabel")
-    )
-    from e2e_el_spark.functions import cosine_expr
+    from e2e_el_spark.functions import dot_expr
+    from e2e_el_spark.operators.similarity import _NORM_EXPR
 
-    scored = c.crossJoin(F.broadcast(q)).withColumn("score", cosine_expr("_qv", "_cv"))
+    e = _t(spark, sf_dir, "embeddings")
+    # r6: norms hoisted out of the 50×1950 pair loop (bit-identical to
+    # cosine_expr — same fold, same operand order) + corpus fan_out
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), F.col("label").alias("qlabel"),
+        F.expr(_NORM_EXPR.format(v="embedding")).alias("_qn"),
+    )
+    c = fan_out(e.filter(F.col("vec_id") >= 50), "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("_cv"), F.col("label").alias("clabel"),
+        F.expr(_NORM_EXPR.format(v="embedding")).alias("_cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "score", dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
     gold = (
@@ -398,7 +430,11 @@ def q25_mention_windows(spark, sf_dir):
 def q26_doc_segmentation(spark, sf_dir):
     """W1 sentence-budget segmentation (CollectiveEL_data_formatter.py:83-186):
     greedy 100-char packing via running-length window → per-segment stats."""
-    d = _t(spark, sf_dir, "documents")
+    # r6: fan_out keyed on doc_id — the window below partitions by doc_id
+    # and the final groupBy keys start with doc_id, so BOTH reuse this one
+    # exchange (EnsureRequirements subset rule): the whole query runs on a
+    # single tiny shuffle of the compact pre-explode doc rows.
+    d = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
@@ -471,7 +507,10 @@ def q29_connected_components(spark, sf_dir):
 def q30_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup candidates verified by exact Jaccard (hash-seeded
     banding is not SQL-expressible; Jaccard verification makes output exact)."""
-    d = _t(spark, sf_dir, "documents").select(
+    # r6: fan_out by doc_id — the shingle projection and the signature
+    # min-aggregate (keyed by doc_id) then run 32-way off the one-task
+    # scan, and the sig groupBy reuses the fan-out exchange
+    d = fan_out(_t(spark, sf_dir, "documents"), "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     return D.minhash_near_duplicates(
@@ -600,16 +639,23 @@ def q37_random_negatives(spark, sf_dir):
 
 def q38_gold_rank_histogram(spark, sf_dir):
     """A8 position-of-positive histogram over the label-kNN ranking of q24."""
-    from e2e_el_spark.functions import cosine_expr
+    from e2e_el_spark.functions import dot_expr
+    from e2e_el_spark.operators.similarity import _NORM_EXPR
 
     e = _t(spark, sf_dir, "embeddings")
+    # r6: norms hoisted out of the pair loop + corpus fan_out (same
+    # bit-identical rewrite as q24)
     q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), F.col("label").alias("qlabel")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), F.col("label").alias("qlabel"),
+        F.expr(_NORM_EXPR.format(v="embedding")).alias("_qn"),
     )
-    c = e.filter(F.col("vec_id") >= 50).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("_cv"), F.col("label").alias("clabel")
+    c = fan_out(e.filter(F.col("vec_id") >= 50), "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("_cv"), F.col("label").alias("clabel"),
+        F.expr(_NORM_EXPR.format(v="embedding")).alias("_cn"),
     )
-    scored = c.crossJoin(F.broadcast(q)).withColumn("score", cosine_expr("_qv", "_cv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "score", dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
     gold = (

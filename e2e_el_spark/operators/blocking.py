@@ -86,10 +86,32 @@ def _prepped(df: DataFrame, id_col: str, text_col: str, lowercase: bool,
 def ngram_counts(df: DataFrame, id_col: str, text_col: str, n_max: int = 5,
                  compat: bool = True, lowercase: bool = True,
                  stopwords: list[str] | None = None) -> DataFrame:
-    """(id, gram, tf) — per-document char-n-gram term frequencies (A2)."""
+    """(id, gram, tf) — per-document char-n-gram term frequencies (A2).
+
+    Round-6 form: grams come from a double POSITION explode
+    (n ∈ 1..n_max, then the n's start positions) with the substr applied
+    per exploded row — every operator in the chain is whole-stage codegen.
+    The round-5 form exploded ``concat(transform(sequence, i -> substr))``
+    string ARRAYS, paying Catalyst's interpreted higher-order-function
+    path plus one materialized string array per (doc, n) — measured ~1.9×
+    slower on the gram stage at bench scale (OPTIMIZATION_r06.md,
+    q16/q17). The position bounds replicate ``char_ngrams_expr`` exactly
+    (compat=True keeps the reference's loop quirk: starts 2..len-n), so
+    the gram multiset — and therefore every downstream tf/df/idf — is
+    identical.
+    """
     d = _prepped(df, id_col, text_col, lowercase, stopwords)
+    lo = 2 if compat else 1
+    hi = "length(_t) - _n" if compat else "length(_t) - _n + 1"
+    ns = d.select("_id", "_t", F.explode(F.expr(f"sequence(1, {n_max})")).alias("_n"))
+    pos = ns.select(
+        "_id", "_t", "_n",
+        F.explode(
+            F.expr(f"CASE WHEN ({hi}) >= {lo} THEN sequence({lo}, {hi}) ELSE array() END")
+        ).alias("_i"),
+    )
     return (
-        d.select("_id", F.explode(F.expr(char_ngrams_all_expr("_t", n_max, compat))).alias("gram"))
+        pos.select("_id", F.expr("substr(_t, _i, _n)").alias("gram"))
         .groupBy("_id", "gram")
         .agg(F.count("*").alias("tf"))
     )
@@ -104,24 +126,33 @@ def build_tfidf_vocab(
 
     Global top-k by total term frequency (ties broken by gram for
     determinism), df = #docs containing the gram, idf = log(N/df).
-    Pass ``n_docs`` when the caller already counted the corpus (saves a job).
+    Pass ``n_docs`` when the caller already counted the corpus; with
+    ``n_docs=None`` the count rides along as a broadcast 1-row scalar
+    cross join instead of a separate eager ``corpus.count()`` driver
+    round-trip (same double value: count is exact in double, log(N/df)
+    identical either way).
     """
-    if n_docs is None:
-        n_docs = corpus.count()
     grams = ngram_counts(corpus, id_col, text_col, n_max, compat, True, stopwords)
+    # grams is one row per (doc, gram) by construction, so plain count(_id)
+    # IS the document frequency — countDistinct would re-plan the aggregate
+    # through Spark's distinct-rewrite (an extra internal aggregation) for
+    # the same number.
     totals = grams.groupBy("gram").agg(
-        F.sum("tf").alias("total_tf"), F.countDistinct("_id").alias("df")
+        F.sum("tf").alias("total_tf"), F.count("_id").alias("df")
     )
     # Distributed top-k: orderBy().limit() compiles to TakeOrderedAndProject
     # (per-partition heaps + a tiny driver merge). A row_number() window with
     # no partitionBy would funnel the ENTIRE gram-totals table through one
     # task — the job at 100× scale.
-    vocab = (
-        totals.orderBy(F.desc("total_tf"), F.asc("gram"))
-        .limit(vocab_size)
-        .select("gram", "df", (F.log(F.lit(float(n_docs)) / F.col("df"))).alias("idf"))
+    topk = totals.orderBy(F.desc("total_tf"), F.asc("gram")).limit(vocab_size)
+    if n_docs is None:
+        n = corpus.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+        return topk.crossJoin(F.broadcast(n)).select(
+            "gram", "df", (F.log(F.col("_n_docs") / F.col("df"))).alias("idf")
+        )
+    return topk.select(
+        "gram", "df", (F.log(F.lit(float(n_docs)) / F.col("df"))).alias("idf")
     )
-    return vocab
 
 
 def tfidf_vectors(
@@ -277,21 +308,36 @@ def minhash_signatures(
     """(id, sig ARRAY<BIGINT>) — MinHash signature, built-ins only.
 
     h_i(x) = xxhash64(shingle_hash, i); sig[i] = min over the document's
-    distinct shingle set. The whole signature is ONE narrow projection —
-    per-doc ``array_min(transform(...))`` over the shingle-hash array — so
-    there is **zero shuffle**: no explode, no groupBy (contrast: the
-    reference delegates to FAISS/torch.topk,
-    `/root/reference/utils_FullTransformer.py:272-277`). At 100 TB this is
-    the difference between a map-only stage and shuffling every
-    (doc, shingle) row.
+    distinct shingle set. Computed by exploding the shingle-hash set and
+    taking the ``num_hashes`` minima in ONE codegen'd hash aggregate
+    (``min(xxhash64(_h, i))``). min() over a set is order-independent, so
+    the output is bit-identical to the round-5 narrow form
+    (``array_min(transform(_hs, h -> xxhash64(h, i)))`` × num_hashes in a
+    single projection) — but that form evaluated every hash in Catalyst's
+    INTERPRETED higher-order-function path (lambda dispatch + a fresh
+    array allocation per hash index per row), measured ~8× slower at
+    bench scale (OPTIMIZATION_r06.md, q30). The aggregate is whole-stage
+    codegen with map-side partial aggregation: each task reduces to one
+    row per document BEFORE the exchange, so the shuffle moves
+    signature-sized rows (id + num_hashes longs) — the very rows the LSH
+    banding step shuffles anyway — never the exploded (doc, shingle) rows.
+    Callers whose input is already hash-partitioned by ``id_col`` (e.g.
+    after ``partitioning.fan_out``) skip even that exchange.
     """
     hs = df.select(
         F.col(id_col), F.expr(shingle_array_expr(text_col, shingle_width)).alias("_hs")
     )
-    sig = F.array(
-        *[F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))") for i in range(num_hashes)]
+    ex = hs.select(id_col, F.explode("_hs").alias("_h"))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return hs.select(F.col(id_col), sig.alias("sig"))
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_band_keys(

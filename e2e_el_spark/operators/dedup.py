@@ -99,10 +99,22 @@ def minhash_near_duplicates(
         F.col(id_col).alias("_id"),
         F.expr(shingle_array_expr(text_col, shingle_width)).alias("_hs"),
     ).cache()
-    sig = F.array(
-        *[F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))") for i in range(num_hashes)]
+    # signature via explode + ONE codegen'd min(xxhash64(h, i)) hash
+    # aggregate — bit-identical to the interpreted array_min(transform(...))
+    # per-index form (min over a set is order-independent) and ~8× faster
+    # at bench scale; map-side partial agg keeps the exchange at
+    # signature size (see blocking.minhash_signatures)
+    ex = hs.select("_id", F.explode("_hs").alias("_h"))
+    mins = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    sigs = hs.select(F.col("_id").alias(id_col), sig.alias("sig"))
+    sigs = mins.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
     keys = lsh_band_keys(sigs, id_col, bands, rows)
     cand = same_block_pairs(keys, id_col, max_block_size=max_block_size).select(
         "id_a", "id_b"
@@ -299,16 +311,30 @@ def embedding_near_duplicates(
     # buckets) — the inlined O(dim × n_planes) form blew up analysis/codegen
     # at realistic embedding dims; see functions.hyperplane_bucket_expr
     bucket = hyperplane_bucket_expr(vec_col, n_planes, seed, dim)
-    keyed = embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    # per-vector L2 norm computed ONCE per side here rather than once per
+    # bucket pair in the cosine below (2 of the 3 interpreted aggregate()
+    # folds per pair were redundant); (dot)/((na)*(nb)) over the same double
+    # values — cosines bit-identical to the round-5 inline form
+    norm = f"sqrt(aggregate({vec_col}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))"
+    keyed = embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bucket"), F.expr(norm).alias("_n")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket",
+        F.col("_n").alias("_na"),
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket",
+        F.col("_n").alias("_nb"),
+    )
     dot = "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
-    na = "sqrt(aggregate(va, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))"
-    nb = "sqrt(aggregate(vb, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))"
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr(f"({dot}) / (({na}) * ({nb}))").alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            (F.expr(dot) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= cosine_threshold)
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from e2e_el_spark.functions import cosine_expr, dot_expr, hyperplane_bucket_expr
 
+# L2 norm of an array column — the per-side half of a cosine; hoisted out of
+# pair loops so it is evaluated once per vector, not once per pair
+_NORM_EXPR = "sqrt(aggregate({v}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v))"
+
 
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -35,9 +39,20 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    if metric == "cosine":
+        # hoist the L2 norms OUT of the pair loop: each side's norm is
+        # computed once per row instead of once per (query × corpus) pair —
+        # the interpreted aggregate() fold is the expensive part of the
+        # score, and 2 of its 3 evaluations per pair were redundant.
+        # dot/(norm_q · norm_c) is the exact expression cosine_expr builds,
+        # on the same double values, so scores are bit-identical.
+        q = q.withColumn("_qn", F.expr(_NORM_EXPR.format(v="_qv")))
+        c = c.withColumn("_cn", F.expr(_NORM_EXPR.format(v="_cv")))
     scored = c.crossJoin(F.broadcast(q))
     if metric == "cosine":
-        scored = scored.withColumn("score", cosine_expr("_qv", "_cv"))
+        scored = scored.withColumn(
+            "score", dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+        )
     elif metric == "dot":
         scored = scored.withColumn("score", dot_expr("_qv", "_cv"))
     else:  # negative L2 so that larger = closer, like the others
@@ -149,8 +164,11 @@ def ivf_topk(
                 F.expr("transform(_s, x -> CAST(x._m AS float))").alias("_cent"),
             )
         )
+    # per-vector norms hoisted out of the probe-pair scoring (bit-identical
+    # to cosine_expr — see brute_force_topk)
     lists = _assign_to_centroids(c, cents, "vec_id").select(
-        "centroid_id", "vec_id", F.col("_v").alias("_cv")
+        "centroid_id", "vec_id", F.col("_v").alias("_cv"),
+        F.expr(_NORM_EXPR.format(v="_v")).alias("_cn"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
     qs = q.crossJoin(F.broadcast(cents)).withColumn("_cs", cosine_expr("_v", "_cent"))
@@ -158,10 +176,17 @@ def ivf_topk(
     probes = (
         qs.withColumn("_r", F.row_number().over(pw))
         .filter(F.col("_r") <= n_probe)
-        .select("query_id", F.col("_v").alias("_qv"), "centroid_id")
+        .select(
+            "query_id", F.col("_v").alias("_qv"), "centroid_id",
+            F.expr(_NORM_EXPR.format(v="_v")).alias("_qn"),
+        )
     )
-    pairs = probes.join(lists, "centroid_id").select("query_id", "vec_id", "_qv", "_cv")
-    scored = pairs.withColumn("score", cosine_expr("_qv", "_cv"))
+    pairs = probes.join(lists, "centroid_id").select(
+        "query_id", "vec_id", "_qv", "_cv", "_qn", "_cn"
+    )
+    scored = pairs.withColumn(
+        "score", dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -193,15 +218,22 @@ def lsh_topk(
     for t in range(n_tables):
         bexpr = _bucket_expr(vec_col, n_planes, seed + t, dim)
         cb = corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"), bexpr.alias("bucket")
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"), bexpr.alias("bucket"),
+            F.expr(_NORM_EXPR.format(v=vec_col)).alias("_cn"),
         )
         qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bexpr.alias("bucket")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), bexpr.alias("bucket"),
+            F.expr(_NORM_EXPR.format(v=vec_col)).alias("_qn"),
         )
-        pairs = cb.join(F.broadcast(qb), "bucket").select("query_id", "vec_id", "_qv", "_cv")
+        pairs = cb.join(F.broadcast(qb), "bucket").select(
+            "query_id", "vec_id", "_qv", "_cv", "_qn", "_cn"
+        )
         probed = pairs if probed is None else probed.unionByName(pairs)
     probed = probed.dropDuplicates(["query_id", "vec_id"])
-    scored = probed.withColumn("score", cosine_expr("_qv", "_cv"))
+    # norms hoisted per side (bit-identical to cosine_expr — see brute_force_topk)
+    scored = probed.withColumn(
+        "score", dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
