@@ -379,28 +379,39 @@ def same_block_pairs(
     cap removed (collected piggyback on the job — no extra Spark job). With
     observation=None the metric is still registered under the named observe
     ``same_block_pairs_cap`` for listeners/UI (SURVEY.md §7.2 step 7).
+
+    r6 shape: ONE hash aggregate per block (collect_set → sorted id array)
+    with the pair enumeration done by an array expression over the capped
+    array. The round-5 shape (distinct → row_number window → self-join)
+    cost two exchanges, a per-block sort, and — because Catalyst plans
+    each self-join side independently — a full duplicate of the entire
+    upstream subtree per side (visible as two copies of the signature
+    build in q30's round-5 plan). Semantics unchanged: collect_set ≡ the
+    old .distinct(), the sorted-array slice keeps the first
+    ``max_block_size`` ids in id order ≡ the old row_number cutoff, pairs
+    are (id_a < id_b) within a block, and the observed metrics report the
+    same numbers (input_rows = Σ pre-cap block sizes, truncated_rows =
+    Σ max(size − cap, 0)).
     """
-    w = Window.partitionBy(key_col).orderBy(id_col)
-    flagged = (
-        keyed.select(key_col, id_col)
-        .distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_truncated", F.col("_rn") > max_block_size)
+    grouped = keyed.groupBy(key_col).agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("_ids")
     )
     metrics = [
-        F.sum(F.col("_truncated").cast("long")).alias("truncated_rows"),
-        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.greatest(F.size("_ids") - max_block_size, F.lit(0)))
+        .cast("long").alias("truncated_rows"),
+        F.sum(F.size("_ids")).cast("long").alias("input_rows"),
     ]
     if observation is not None:
-        flagged = flagged.observe(observation, *metrics)
+        grouped = grouped.observe(observation, *metrics)
     else:
-        flagged = flagged.observe(unique_metric_name("same_block_pairs_cap"), *metrics)
-    capped = flagged.filter(~F.col("_truncated"))
-    a = capped.select(F.col(key_col), F.col(id_col).alias("id_a"))
-    b = capped.select(F.col(key_col), F.col(id_col).alias("id_b"))
+        grouped = grouped.observe(unique_metric_name("same_block_pairs_cap"), *metrics)
+    capped = grouped.select(key_col, F.slice("_ids", 1, max_block_size).alias("_ids"))
+    pairs = (
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, key_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", key_col)
+        capped.select(key_col, F.explode(F.expr(pairs)).alias("_p"))
+        .select("_p.id_a", "_p.id_b", key_col)
         .dropDuplicates(["id_a", "id_b"])
     )

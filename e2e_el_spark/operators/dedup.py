@@ -121,10 +121,18 @@ def minhash_near_duplicates(
     )
     # verify on the pair table via array_intersect — moves one bounded array
     # per pair side instead of re-shuffling every (doc, shingle) row through
-    # an exploded equi-join (the round-1 shape; was ~half the headline bench)
+    # an exploded equi-join (the round-1 shape; was ~half the headline bench).
+    # The BROADCAST side is the candidate-pair table, not the shingle-array
+    # frame: banding + the block cap make the pair set the small side by
+    # construction (16 bytes/row vs one shingle array/row), while Catalyst's
+    # estimate for the multi-stage pair plan is pessimistic and the cached
+    # array frame's is accurate — left alone it broadcast-built the ARRAY
+    # side twice (2 × ~12 MB driver collects at bench scale, measured 2×
+    # slower; at corpus scale that side outgrows broadcast entirely and the
+    # planner would fall back to shuffling both).
     a = hs.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
     b = hs.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
-    paired = cand.join(a, "id_a").join(b, "id_b")
+    paired = F.broadcast(cand).join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_ha", "_hb"))
     return (
         paired.select(
