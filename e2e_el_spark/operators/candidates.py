@@ -23,19 +23,28 @@ def bm25_scores(
     idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene-style non-negative),
     tf-normalized by document length. Inverted-index join on the token —
     same shuffle shape as the TF-IDF path, fully built-in.
+
+    r6: the corpus statistics N and avgdl ride along as a broadcast 1-row
+    scalar cross join instead of two EAGER driver actions
+    (``docs.count()`` + a ``collect()`` of avg(dlen)) at plan-build time —
+    same double values (count exact in double, identical IEEE division),
+    two fewer Spark jobs per call, and the plan stays fully lazy.
     """
-    n_docs = docs.count()
     d_toks = docs.select(
         F.col(doc_id).alias("_did"),
         F.explode(F.split(F.lower(F.col(doc_text)), r"\s+")).alias("tok"),
     )
     tf = d_toks.groupBy("_did", "tok").agg(F.count("*").alias("tf"))
     dlen = d_toks.groupBy("_did").agg(F.count("*").alias("dlen"))
-    avgdl = dlen.agg(F.avg("dlen")).collect()[0][0] or 1.0
+    # N counts ALL doc rows (matching the old docs.count()), not just docs
+    # that produced tokens; avgdl comes from the token-length frame
+    stats = dlen.agg(F.coalesce(F.avg("dlen"), F.lit(1.0)).alias("_avgdl")).crossJoin(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    )
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = df_.select(
-        "tok",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "tok", "_avgdl",
+        F.log((F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
     )
     q_toks = queries.select(
         F.col(query_id).alias("_qid"),
@@ -49,7 +58,7 @@ def bm25_scores(
             "w",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.lit(float(avgdl)))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("_avgdl"))),
         )
         .groupBy("_qid", "_did")
         .agg(F.sum("w").alias("bm25"))

@@ -93,10 +93,22 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
+# gram → blake2b hash memo (r6): the 3-gram universe of real text is tiny
+# (a few 10⁴ distinct grams) while the flagship embeds ~10⁵ surfaces ×
+# ~40 grams each, so >99% of blake2b calls were recomputing an
+# already-seen gram. Module-level (importable module ⇒ survives task
+# boundaries under spark.python.worker.reuse) and size-capped like
+# wordpiece._MEMO_MAX so an adversarial gram stream cannot grow it
+# unboundedly. Pure memoization: embeddings are bit-identical.
+_GRAM_HASH_MEMO: dict[str, int] = {}
+_GRAM_HASH_MEMO_MAX = 1_000_000
+
+
 def hash_embed_numpy(texts: "pd.Series | list[str]", dim: int = EMB_DIM) -> np.ndarray:
     """L2-normalized char-3-gram hashing embeddings — a pure function of the
     normalized text, so same-entity surface variants land near each other
     (FIXTURES.md §7). Stands in for the BERT encoder at test scale."""
+    memo = _GRAM_HASH_MEMO
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for r, t in enumerate(texts):
         t = (t or "").lower()
@@ -104,7 +116,13 @@ def hash_embed_numpy(texts: "pd.Series | list[str]", dim: int = EMB_DIM) -> np.n
         padded = f"  {t}  "
         for i in range(len(padded) - 2):
             g = padded[i : i + 3]
-            hv = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            hv = memo.get(g)
+            if hv is None:
+                hv = int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                )
+                if len(memo) < _GRAM_HASH_MEMO_MAX:
+                    memo[g] = hv
             out[r, hv % dim] += 1.0 if (hv >> 63) else -1.0
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
