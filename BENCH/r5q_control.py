@@ -29,15 +29,31 @@ CONFIGS = {
     "static_init2": {"SPARK_GRAFT_INITIAL_PARTITIONS": "2"},
 }
 
+# env keys that change engine partitioning/bench behavior: POPPED before each
+# run so a leftover campaign export cannot silently turn the control into
+# static-vs-static (each arm's config is fully determined by CONFIGS)
+_CONFIG_KEYS = [
+    "SPARK_GRAFT_INITIAL_PARTITIONS", "SPARK_GRAFT_PARALLELISM_FIRST",
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "SPARK_GRAFT_MAX_PARTITION_BYTES",
+    "EL_BENCH_SHUFFLE_PARTITIONS", "EL_BENCH_WORKDIR",
+]
 
-def one_run(extra_env: dict) -> dict:
+
+def one_run(extra_env: dict, workdir_suffix: str) -> dict:
     cmd = [sys.executable, "-m", "e2e_el_spark.bench_worker",
            str(CPUS), str(PAGES), str(MULT), str(ENTS), "1"]
-    env = dict(os.environ, PYTHONPATH=REPO, **extra_env)
+    env = dict(os.environ)
+    for k in _CONFIG_KEYS:
+        env.pop(k, None)
+    # prepend (never clobber) PYTHONPATH; per-run workdir so a killed run's
+    # stale /dev/shm state cannot contaminate the other arm
+    env["PYTHONPATH"] = REPO + (os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    env["EL_BENCH_WORKDIR"] = f"/dev/shm/el_r5q_{workdir_suffix}"
+    env.update(extra_env)
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     m = re.search(r"RESULT (\{.*\})", proc.stdout)
-    if not m:
-        return {"error": proc.stderr[-500:]}
+    if proc.returncode != 0 or not m:
+        return {"error": (proc.stderr or "no RESULT line")[-500:]}
     return json.loads(m.group(1))
 
 

@@ -25,7 +25,9 @@ from e2e_el_spark.pipeline import (
 
 def main() -> None:
     cpus, n_pages, mult, n_ents, trials = (int(a) for a in sys.argv[1:6])
-    workdir = f"/dev/shm/el_bench_{cpus}"
+    # EL_BENCH_WORKDIR: per-run isolation for interleaved campaigns (a killed
+    # run must not leave state the other arm of an A/B control inherits)
+    workdir = os.environ.get("EL_BENCH_WORKDIR") or f"/dev/shm/el_bench_{cpus}"
     # L3 rerank measured by default (EL_BENCH_RERANK=0 disables) so the bench
     # covers the full production pipeline incl. the 04b stage
     rerank = int(os.environ.get("EL_BENCH_RERANK", "5")) or None

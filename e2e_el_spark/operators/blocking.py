@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from e2e_el_spark.functions import (
     STOPWORDS,
-    char_ngrams_all_expr,
     remove_stopwords_expr,
     unique_metric_name,
 )

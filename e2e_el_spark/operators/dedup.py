@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from e2e_el_spark.operators.blocking import (
     lsh_band_keys,
-    minhash_signatures,
     same_block_pairs,
     shingles,
 )
