@@ -47,6 +47,12 @@ def fan_out(
     if target is None:
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
+        # cheap first-line check: a scan over >= target files cannot be
+        # narrower than target splits, so skip the probe (and its physical
+        # planning) entirely — this is the branch a 100 TB table takes, at
+        # ~ms cost against its cached file index
+        if len(df.inputFiles()) >= target:
+            return df
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - exotic plans; fan-out is best-effort
         return df
