@@ -92,9 +92,13 @@ def ngram_counts(df: DataFrame, id_col: str, text_col: str, n_max: int = 5,
     per exploded row — every operator in the chain is whole-stage codegen.
     The round-5 form exploded ``concat(transform(sequence, i -> substr))``
     string ARRAYS, paying Catalyst's interpreted higher-order-function
-    path plus one materialized string array per (doc, n) — measured ~1.9×
-    slower on the gram stage at bench scale (OPTIMIZATION_r06.md,
-    q16/q17). The position bounds replicate ``char_ngrams_expr`` exactly
+    path plus one materialized string array per (doc, n) — measured
+    1.25-1.3× slower like-for-like at equal parallelism on clean-window
+    medians (the bulk of the q16/q17 headline win was the scan fan-out,
+    not this form; OPTIMIZATION_r06.md has both numbers). The position
+    explode also materializes no per-(doc, n) string array, with the
+    advantage growing with text length.
+    The position bounds replicate ``char_ngrams_expr`` exactly
     (compat=True keeps the reference's loop quirk: starts 2..len-n), so
     the gram multiset — and therefore every downstream tf/df/idf — is
     identical.
@@ -314,8 +318,12 @@ def minhash_signatures(
     (``array_min(transform(_hs, h -> xxhash64(h, i)))`` × num_hashes in a
     single projection) — but that form evaluated every hash in Catalyst's
     INTERPRETED higher-order-function path (lambda dispatch + a fresh
-    array allocation per hash index per row), measured ~8× slower at
-    bench scale (OPTIMIZATION_r06.md, q30). The aggregate is whole-stage
+    array allocation per hash index per row): measured 1.6× slower
+    like-for-like at equal parallelism, on both the bench-document and
+    pipeline-surface shapes (OPTIMIZATION_r06.md, q30). In the round-5
+    q30 plan the interpreted projection additionally ran TWICE (self-join
+    subtree duplication) inside a single-partition cached relation — the
+    structural half of that query's 8.33 s. The aggregate is whole-stage
     codegen with map-side partial aggregation: each task reduces to one
     row per document BEFORE the exchange, so the shuffle moves
     signature-sized rows (id + num_hashes longs) — the very rows the LSH

@@ -100,9 +100,11 @@ def minhash_near_duplicates(
     ).cache()
     # signature via explode + ONE codegen'd min(xxhash64(h, i)) hash
     # aggregate — bit-identical to the interpreted array_min(transform(...))
-    # per-index form (min over a set is order-independent) and ~8× faster
-    # at bench scale; map-side partial agg keeps the exchange at
-    # signature size (see blocking.minhash_signatures)
+    # per-index form (min over a set is order-independent), measured 1.6×
+    # faster like-for-like, and evaluated ONCE: the round-5 self-join
+    # duplicated the whole interpreted projection per pair side; map-side
+    # partial agg keeps the exchange at signature size
+    # (see blocking.minhash_signatures)
     ex = hs.select("_id", F.explode("_hs").alias("_h"))
     mins = ex.groupBy("_id").agg(
         *[
