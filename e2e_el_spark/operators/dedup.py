@@ -270,9 +270,14 @@ def ngram_jaccard_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
         # exact rescore: candidate pairs ⋈ FULL gram sets — jaccard is exact
-        # for every pair the rare-gram index surfaced
+        # for every pair the rare-gram index surfaced. Broadcast the
+        # rare-gram-capped pair table (two ids/row), not the full gram-row
+        # frames — the same estimate-asymmetry fix as the minhash verify
+        # join (the multi-stage pair subtree estimates big, the gram frames
+        # estimate accurately, so the planner otherwise builds the WRONG
+        # side; at corpus scale the gram frames outgrow broadcast entirely)
         inter = (
-            cand.join(a, "id_a")
+            F.broadcast(cand).join(a, "id_a")
             .join(b, ["id_b", "gram"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_inter"))
