@@ -122,3 +122,24 @@ def test_fan_out_spreads_narrow_input(spark):
 def test_fan_out_requires_key(spark):
     with pytest.raises(ValueError):
         fan_out(spark.range(10))
+
+
+def test_q07_sort_runs_above_the_fan_out_exchange(spark):
+    """q07's window sort must not run below the exchange (where the
+    single-row-group scan would serialize it on one task): fan_out keyed on
+    the window partition key leaves ONE exchange with the Sort above it,
+    and the WindowGroupLimit appears once (Final) instead of Partial+Final
+    around a pre-exchange 1-task sort."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q07_topk_per_group"](spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("WindowGroupLimit") == 1
+    # the Sort node sits above the Exchange in the operator tree
+    sort_line = next(i for i, l in enumerate(tree.splitlines()) if "Sort" in l)
+    exch_line = next(i for i, l in enumerate(tree.splitlines()) if "Exchange" in l)
+    assert sort_line < exch_line
